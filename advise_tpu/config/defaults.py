@@ -1,0 +1,528 @@
+"""Default config tree.
+
+Key-compatible with the reference's ``configs/defaults.py:7-717`` (same
+section names, key names, and default values) so reference YAML recipes and
+``--opts`` overrides work unchanged, with two deliberate extensions:
+
+1. **Restored nodes** the reference fork dropped even though its model code
+   reads them (reference ``models/video_model_builder.py:222,666,812``,
+   ``models/masked.py:28``, ``models/contrastive.py:185,810``): ``SLOWFAST``,
+   ``X3D``, ``MASK``, ``MVIT.REV``, ``TRAIN.BATCH_SIZE``, ``NUM_SHARDS``,
+   ``DATA.TRAIN_CROP_SIZE`` and friends. Here SlowFast/X3D/MaskMViT/
+   reversible-MViT are first-class.
+2. A new ``TPU`` section for mesh layout, on-device augmentation, and
+   prefetch — capabilities with no reference equivalent.
+"""
+
+import math
+
+from advise_tpu.config.node import CfgNode
+
+_C = CfgNode()
+
+# Number of accelerator devices to use (reference key name kept: NUM_GPUS).
+_C.NUM_GPUS = 4
+
+# Number of hosts/slices participating (restored reference key NUM_SHARDS,
+# read by models/contrastive.py:185 in the reference).
+_C.NUM_SHARDS = 1
+
+_C.PIPELINE = ["train"]
+
+_C.MODELDATA = None
+
+_C.TASK = "tmodeling"
+
+_C.LINEAR_PROBING = False
+
+_C.RESUME = None
+
+# -----------------------------------------------------------------------------
+# TPU runtime options (new — no reference equivalent)
+# -----------------------------------------------------------------------------
+_C.TPU = CfgNode()
+
+# Mesh axis sizes. 'data' is the pure data-parallel axis; 'sync' is the inner
+# axis over which BatchNorm statistics are synchronized (maps the reference's
+# BN.NUM_SYNC_DEVICES subgrouping to a mesh sub-axis). data*sync must equal
+# the total device count. -1 means infer from jax.device_count().
+_C.TPU.MESH_DATA = -1
+_C.TPU.MESH_SYNC = 1
+
+# Run augmentation on device (fused XLA/Pallas kernels over batched uint8
+# frames) instead of per-frame PIL on the host.
+_C.TPU.DEVICE_AUG = True
+
+# Number of batches to keep in flight host->device.
+_C.TPU.PREFETCH = 2
+
+# Compute dtype for model forward/backward ('float32' or 'bfloat16').
+# Parameters and optimizer state always stay float32.
+_C.TPU.COMPUTE_DTYPE = "bfloat16"
+
+# Donate input state buffers to the train step (saves HBM).
+_C.TPU.DONATE = True
+
+# Use jax.checkpoint (rematerialization) on residual stages.
+_C.TPU.REMAT = False
+
+# -----------------------------------------------------------------------------
+# TModeling options
+# -----------------------------------------------------------------------------
+_C.TM = CfgNode()
+
+_C.TM.ENABLE_BF16 = False
+_C.TM.SPATIAL_POOL_DIM = None
+_C.TM.CHANNEL_POOL_DIM = None
+_C.TM.TEMPORAL_ARCH = "conv3d"
+_C.TM.NUM_BLOCKS = 4
+_C.TM.NUM_HEADS = 6
+_C.TM.SKIP_TM = False
+_C.TM.FROM_SCRATCH = False
+_C.TM.TEMPORAL_CAT = False
+_C.TM.LINEAR_PROJ = False
+
+# -----------------------------------------------------------------------------
+# SSL options
+# -----------------------------------------------------------------------------
+_C.SSL = CfgNode()
+
+_C.SSL.TASK = "speed"
+_C.SSL.WEIGHT_OF_LOSS = [1.0]
+_C.SSL.MARGIN = 0.5
+_C.SSL.METHOD = "random"
+_C.SSL.JITTER = 0.2
+_C.SSL.RANGE = [1, 2, 4, 8]
+_C.SSL.HEAD_L2_NORM = False
+_C.SSL.NUM_MLP_LAYERS = 2
+_C.SSL.MLP_DIM = 2048
+_C.SSL.BN_MLP = True
+_C.SSL.BN_SYNC_MLP = True
+_C.SSL.STAT = ["loss_spd", "acc_spd"]
+_C.SSL.METRIC = ["ce", "acc@1"]
+_C.SSL.SMOOTHING = 0.0
+
+# -----------------------------------------------------------------------------
+# Contrastive model (MoCo, SimCLR, SwAV, BYOL, memory bank)
+# -----------------------------------------------------------------------------
+_C.CONTRASTIVE = CfgNode()
+
+_C.CONTRASTIVE.T = 0.07
+_C.CONTRASTIVE.DIM = 128
+_C.CONTRASTIVE.HIDDEN_DIM = 4096
+_C.CONTRASTIVE.LENGTH = 239975
+_C.CONTRASTIVE.QUEUE_LEN = 65536
+_C.CONTRASTIVE.MOMENTUM = 0.5
+_C.CONTRASTIVE.MOMENTUM_ANNEALING = False
+_C.CONTRASTIVE.TYPE = "mem"
+_C.CONTRASTIVE.INTERP_MEMORY = False
+_C.CONTRASTIVE.MEM_TYPE = "1d"
+_C.CONTRASTIVE.NUM_CLASSES_DOWNSTREAM = 400
+_C.CONTRASTIVE.NUM_MLP_LAYERS = 2
+_C.CONTRASTIVE.MLP_DIM = 2048
+_C.CONTRASTIVE.BN_MLP = True
+_C.CONTRASTIVE.BN_SYNC_MLP = True
+_C.CONTRASTIVE.LOCAL_SHUFFLE_BN = True
+_C.CONTRASTIVE.MOCO_MULTI_VIEW_QUEUE = False
+_C.CONTRASTIVE.DELTA_CLIPS_MIN = -math.inf
+_C.CONTRASTIVE.DELTA_CLIPS_MAX = math.inf
+_C.CONTRASTIVE.PREDICTOR_DEPTHS = []
+_C.CONTRASTIVE.SEQUENTIAL = False
+_C.CONTRASTIVE.SIMCLR_DIST_ON = True
+_C.CONTRASTIVE.SWAV_QEUE_LEN = 0
+_C.CONTRASTIVE.KNN_ON = True
+
+# -----------------------------------------------------------------------------
+# Training options
+# -----------------------------------------------------------------------------
+_C.TRAIN = CfgNode()
+
+_C.TRAIN.LOG_FREQ = 20
+_C.TRAIN.SAVE_FREQ = 5
+_C.TRAIN.AMP = False
+_C.TRAIN.SEED = 0
+_C.TRAIN.RESUME = None
+_C.TRAIN.AUTO_RESUME = False
+_C.TRAIN.SEQUENTIAL = False
+# Restored: global batch size (reference models/contrastive.py:810 reads it).
+# -1 = infer as DATA.BATCHSIZE_PER_GPU * NUM_GPUS * NUM_SHARDS.
+_C.TRAIN.BATCH_SIZE = -1
+
+# -----------------------------------------------------------------------------
+# Test options (restored minimal node; reference reads
+# cfg.TEST.CHECKPOINT_FILE_PATH in models/contrastive.py)
+# -----------------------------------------------------------------------------
+_C.TEST = CfgNode()
+
+_C.TEST.CHECKPOINT_FILE_PATH = ""
+
+# -----------------------------------------------------------------------------
+# Inference options
+# -----------------------------------------------------------------------------
+_C.INFER = CfgNode()
+
+_C.INFER.SAMPLE_METHOD = "uniform"
+_C.INFER.NUM_CLIPS = 10
+_C.INFER.NUM_CROPS = 3
+_C.INFER.RES = 256
+_C.INFER.NUM_FRAMES = 8
+_C.INFER.STRIDE = 8
+_C.INFER.JITTER = 0.0
+_C.INFER.SEED = 0
+_C.INFER.DATADIR = None
+_C.INFER.LABELDIR = None
+_C.INFER.SPLITFILE = None
+_C.INFER.BATCHSIZE_PER_GPU = 1
+_C.INFER.WORKERS = 8
+
+# -----------------------------------------------------------------------------
+# Validation options
+# -----------------------------------------------------------------------------
+_C.VAL = CfgNode()
+
+_C.VAL.TARGET_SIZE = 224
+_C.VAL.MIN_AREA = 0.08
+_C.VAL.RAND_CROP_RATIO = (3.0 / 4.0, 4.0 / 3.0)
+_C.VAL.NUM_FRAME = 8
+_C.VAL.STRIDE = 1
+_C.VAL.JITTER = 0.2
+_C.VAL.RANGE = [1, 2, 4, 8]
+_C.VAL.DATADIR = None
+_C.VAL.LABELDIR = None
+_C.VAL.SPLITFILE = None
+_C.VAL.BATCHSIZE_PER_GPU = 2
+_C.VAL.WORKERS = 8
+# Frame rate assumed by the dense validation sampler. The reference hardcodes
+# 25 fps (datasets/sampling.py:247) — kept configurable here (SURVEY §8.3).
+_C.VAL.FPS = 25
+
+# -----------------------------------------------------------------------------
+# Solver options
+# -----------------------------------------------------------------------------
+_C.SOLVER = CfgNode()
+
+_C.SOLVER.MAX_EPOCH = 100
+_C.SOLVER.START_EPOCH = 0
+_C.SOLVER.OPTIMIZING_METHOD = "sgd"
+_C.SOLVER.BASE_LR = 1e-1
+_C.SOLVER.NESTEROV = True
+_C.SOLVER.MOMENTUM = 0.9
+_C.SOLVER.DAMPENING = 0.0
+_C.SOLVER.WEIGHT_DECAY = 1e-6
+_C.SOLVER.LR_POLICY = "cosine"
+_C.SOLVER.COSINE_END_LR = 0.0
+_C.SOLVER.WARMUP_EPOCHS = 10.0
+_C.SOLVER.WARMUP_START_LR = 0.001
+_C.SOLVER.COSINE_AFTER_WARMUP = False
+_C.SOLVER.LAYER_DECAY = 1.0
+_C.SOLVER.LARS_ON = False
+_C.SOLVER.ZERO_WD_1D_PARAM = False
+_C.SOLVER.STEPS = []
+_C.SOLVER.LRS = []
+_C.SOLVER.BETAS = (0.9, 0.999)
+# Gradient clipping by global norm (0 = off). New key; the reference only
+# *measures* grad norm (models/optimizer.py:375) but never clips.
+_C.SOLVER.CLIP_GRAD_NORM = 0.0
+
+# -----------------------------------------------------------------------------
+# Augmentation options
+# -----------------------------------------------------------------------------
+_C.AUG = CfgNode()
+
+_C.AUG.TYPE = "simple"
+_C.AUG.RESIZE = [320, 256]
+_C.AUG.TARGET_SIZE = 224
+_C.AUG.COLOR = [0.8, 0.4, 0.4, 0.4, 0.2]
+_C.AUG.GRAYSCALE = 0.2
+_C.AUG.MIN_AREA = 0.08
+_C.AUG.MAX_AREA = 0.76
+_C.AUG.RAND_CROP_RATIO = (3.0 / 4.0, 4.0 / 3.0)
+_C.AUG.AA_TYPE = "rand-m7-n4-mstd0.5-inc1"
+_C.AUG.INTERPOLATION = "bicubic"
+_C.AUG.CAMERA_SHAKE = 0.0
+_C.AUG.CAMERA_SHIFT = 0.0
+_C.AUG.ZOOM = 0.0
+_C.AUG.COLOR_BRI = 0.0
+_C.AUG.COLOR_SAT = 0.0
+_C.AUG.WHITE_BALANCE = 0.0
+_C.AUG.COLOR_AREA_SCALE = (0.04, 0.16)
+_C.AUG.SSL_BLUR_SIGMA_MIN = [0.0, 0.1]
+_C.AUG.SSL_BLUR_SIGMA_MAX = [0.0, 2.0]
+_C.AUG.RANDOM_FLIP = True
+_C.AUG.INV_UNIFORM_SAMPLE = False
+_C.AUG.TRAIN_JITTER_MOTION_SHIFT = False
+# Random erasing (timm semantics; reference datasets/random_erasing.py).
+_C.AUG.RE_PROB = 0.0
+_C.AUG.RE_MODE = "pixel"
+_C.AUG.RE_COUNT = 1
+
+# -----------------------------------------------------------------------------
+# Data options
+# -----------------------------------------------------------------------------
+_C.DATA = CfgNode()
+
+_C.DATA.DATASET = "ucf-101"
+_C.DATA.DATADIR = None
+_C.DATA.LABELDIR = None
+_C.DATA.SPLITFILE = None
+_C.DATA.NUM_CLIP = 4
+_C.DATA.TRAIN_CROP_NUM_TEMPORAL = 4
+_C.DATA.TRAIN_CROP_NUM_SPATIAL = 1
+_C.DATA.NUM_FRAMES = 8
+_C.DATA.STRIDE = 1
+_C.DATA.BATCHSIZE_PER_GPU = 8
+_C.DATA.WORKERS = 8
+_C.DATA.INPUT_CHANNEL_NUM = [3]
+# Restored keys (read by reference models/video_model_builder.py:803,
+# datasets/utils.py, masked.py) that the fork dropped:
+_C.DATA.TRAIN_CROP_SIZE = 224
+_C.DATA.TEST_CROP_SIZE = 224
+_C.DATA.MEAN = [0.485, 0.456, 0.406]
+_C.DATA.STD = [0.229, 0.224, 0.225]
+_C.DATA.RANDOM_FLIP = True
+_C.DATA.REVERSE_INPUT_CHANNEL = False
+_C.DATA.INV_UNIFORM_SAMPLE = False
+_C.DATA.TRAIN_JITTER_SCALES_RELATIVE = []
+_C.DATA.TRAIN_JITTER_ASPECT_RELATIVE = []
+_C.DATA.TRAIN_JITTER_MOTION_SHIFT = False
+# Decode backend: 'auto' | 'cv2' | 'tensor' | 'synthetic'.
+_C.DATA.DECODE_BACKEND = "auto"
+# For the synthetic backend: number of items and nominal video length.
+_C.DATA.SYNTHETIC_SIZE = 64
+_C.DATA.SYNTHETIC_LENGTH = 250
+_C.DATA.SYNTHETIC_RES = 128
+_C.DATA.SYNTHETIC_NUM_CLASSES = 101
+
+# -----------------------------------------------------------------------------
+# ResNet options
+# -----------------------------------------------------------------------------
+_C.RESNET = CfgNode()
+
+_C.RESNET.TRANS_FUNC = "bottleneck_transform"
+_C.RESNET.NUM_GROUPS = 1
+_C.RESNET.WIDTH_PER_GROUP = 64
+_C.RESNET.INPLACE_RELU = True
+_C.RESNET.STRIDE_1X1 = False
+_C.RESNET.ZERO_INIT_FINAL_BN = False
+_C.RESNET.ZERO_INIT_FINAL_CONV = False
+_C.RESNET.DEPTH = 50
+_C.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3], [4], [6], [3]]
+_C.RESNET.SPATIAL_STRIDES = [[1], [2], [2], [2]]
+_C.RESNET.SPATIAL_DILATIONS = [[1], [1], [1], [1]]
+
+# -----------------------------------------------------------------------------
+# SlowFast options (restored — reference models/video_model_builder.py:222-418
+# reads these but the fork dropped the node)
+# -----------------------------------------------------------------------------
+_C.SLOWFAST = CfgNode()
+
+# Speed ratio between fast and slow pathways.
+_C.SLOWFAST.ALPHA = 8
+# Inverse channel ratio of the fast pathway.
+_C.SLOWFAST.BETA_INV = 8
+# Channel ratio of the fast-to-slow fusion conv.
+_C.SLOWFAST.FUSION_CONV_CHANNEL_RATIO = 2
+# Temporal kernel size of the fusion conv.
+_C.SLOWFAST.FUSION_KERNEL_SZ = 7
+
+# -----------------------------------------------------------------------------
+# X3D options (restored — reference models/video_model_builder.py:641-784)
+# -----------------------------------------------------------------------------
+_C.X3D = CfgNode()
+
+_C.X3D.WIDTH_FACTOR = 1.0
+_C.X3D.DEPTH_FACTOR = 1.0
+_C.X3D.BOTTLENECK_FACTOR = 2.25
+_C.X3D.DIM_C1 = 12
+_C.X3D.DIM_C5 = 2048
+_C.X3D.SCALE_RES2 = False
+_C.X3D.BN_LIN5 = False
+_C.X3D.CHANNELWISE_3x3x3 = True
+
+# -----------------------------------------------------------------------------
+# Masked prediction options (restored — reference models/masked.py:24-658)
+# -----------------------------------------------------------------------------
+_C.MASK = CfgNode()
+
+_C.MASK.ENABLE = False
+_C.MASK.MAE_ON = False
+_C.MASK.MAE_RND_MASK = False
+_C.MASK.PER_FRAME_MASKING = False
+_C.MASK.TIME_STRIDE_LOSS = True
+_C.MASK.NORM_PRED_PIXEL = True
+_C.MASK.SCALE_INIT_BY_DEPTH = False
+_C.MASK.DECODER_EMBED_DIM = 512
+_C.MASK.DECODER_DEPTH = 0
+_C.MASK.DECODER_SEP_POS_EMBED = False
+_C.MASK.DEC_KV_KERNEL = []
+_C.MASK.DEC_KV_STRIDE = []
+_C.MASK.PRETRAIN_DEPTH = [15]
+_C.MASK.HEAD_TYPE = "separate"
+_C.MASK.PRED_HOG = False
+_C.MASK.PRED_HOG_NBINS = 9
+_C.MASK.PRED_HOG_CELL_SZ = 8
+# Masking ratio / block geometry for the pretrain mask generator.
+_C.MASK.MASK_RATIO = 0.75
+_C.MASK.MAX_MASK_PATCHES_PER_BLOCK = None
+
+# -----------------------------------------------------------------------------
+# Model options
+# -----------------------------------------------------------------------------
+_C.MODEL = CfgNode()
+
+_C.MODEL.MODEL_NAME = "ResNet"
+_C.MODEL.ARCH = "Slow"
+_C.MODEL.NUM_CLASSES = 5
+_C.MODEL.DROPOUT_RATE = 0.0
+_C.MODEL.DETACH_FINAL_FC = False
+_C.MODEL.FP16_ALLREDUCE = False
+_C.MODEL.ACT_CHECKPOINT = False
+_C.MODEL.FC_INIT_STD = 0.01
+_C.MODEL.HEAD_ACT = "softmax"
+_C.MODEL.SPATIAL_MODEL_PATH = ""
+_C.MODEL.SPATIAL_MODEL_ARCH = ""
+_C.MODEL.SPATIAL_EMBEDDING_DIM = 768
+_C.MODEL.TEMPORAL_NUM_LAYERS = 6
+_C.MODEL.TEMPORAL_NUM_HEADS = 8
+_C.MODEL.TEMPORAL_EMBEDDING_DIM = 512
+_C.MODEL.TEMPORAL_HIDDEN_DIM = 256
+_C.MODEL.TEMPORAL_NUM_EMBEDDINGS = 8
+# Loss function name for supervised/action tasks.
+_C.MODEL.LOSS_FUNC = "cross_entropy"
+
+# -----------------------------------------------------------------------------
+# Batch norm options
+# -----------------------------------------------------------------------------
+_C.BN = CfgNode()
+
+_C.BN.GLOBAL_SYNC = False
+_C.BN.NUM_SYNC_DEVICES = 4
+_C.BN.NORM_TYPE = "sync_batchnorm"
+_C.BN.WEIGHT_DECAY = 0.0
+# SubBatchNorm split count (reference models/batchnorm_helper.py:44).
+_C.BN.NUM_SPLITS = 1
+
+# -----------------------------------------------------------------------------
+# Detection options (vestigial in the reference; kept for config parity)
+# -----------------------------------------------------------------------------
+_C.DETECTION = CfgNode()
+
+_C.DETECTION.ENABLE = False
+
+# -----------------------------------------------------------------------------
+# Nonlocal options
+# -----------------------------------------------------------------------------
+_C.NONLOCAL = CfgNode()
+
+_C.NONLOCAL.LOCATION = [[[]], [[]], [[]], [[]]]
+_C.NONLOCAL.GROUP = [[1], [1], [1], [1]]
+_C.NONLOCAL.INSTANTIATION = "dot_product"
+_C.NONLOCAL.POOL = [
+    [[1, 2, 2], [1, 2, 2]],
+    [[1, 2, 2], [1, 2, 2]],
+    [[1, 2, 2], [1, 2, 2]],
+    [[1, 2, 2], [1, 2, 2]],
+]
+
+# -----------------------------------------------------------------------------
+# MViT options
+# -----------------------------------------------------------------------------
+_C.MVIT = CfgNode()
+
+_C.MVIT.MODE = "conv"
+_C.MVIT.POOL_FIRST = False
+_C.MVIT.CLS_EMBED_ON = True
+_C.MVIT.PATCH_KERNEL = [3, 7, 7]
+_C.MVIT.PATCH_STRIDE = [2, 4, 4]
+_C.MVIT.PATCH_PADDING = [2, 4, 4]
+_C.MVIT.PATCH_2D = False
+_C.MVIT.EMBED_DIM = 96
+_C.MVIT.NUM_HEADS = 1
+_C.MVIT.MLP_RATIO = 4.0
+_C.MVIT.QKV_BIAS = True
+_C.MVIT.DROPPATH_RATE = 0.1
+_C.MVIT.LAYER_SCALE_INIT_VALUE = 0.0
+_C.MVIT.DEPTH = 16
+_C.MVIT.NORM = "layernorm"
+_C.MVIT.DIM_MUL = []
+_C.MVIT.HEAD_MUL = []
+_C.MVIT.POOL_KV_STRIDE = []
+_C.MVIT.POOL_KV_STRIDE_ADAPTIVE = None
+_C.MVIT.POOL_Q_STRIDE = []
+_C.MVIT.POOL_KVQ_KERNEL = None
+_C.MVIT.ZERO_DECAY_POS_CLS = True
+_C.MVIT.NORM_STEM = False
+_C.MVIT.SEP_POS_EMBED = False
+_C.MVIT.DROPOUT_RATE = 0.0
+_C.MVIT.USE_ABS_POS = True
+_C.MVIT.REL_POS_SPATIAL = False
+_C.MVIT.REL_POS_TEMPORAL = False
+_C.MVIT.REL_POS_ZERO_INIT = False
+_C.MVIT.RESIDUAL_POOLING = False
+_C.MVIT.DIM_MUL_IN_ATT = False
+_C.MVIT.SEPARATE_QKV = False
+_C.MVIT.HEAD_INIT_SCALE = 1.0
+_C.MVIT.USE_MEAN_POOLING = False
+_C.MVIT.USE_FIXED_SINCOS_POS = False
+
+# Reversible MViT (restored — reference models/reversible_mvit.py needs
+# cfg.MVIT.REV.* which the fork dropped).
+_C.MVIT.REV = CfgNode()
+
+_C.MVIT.REV.ENABLE = False
+_C.MVIT.REV.RESPATH_FUSE = "concat"
+_C.MVIT.REV.BUFFER_LAYERS = []
+_C.MVIT.REV.RES_PATH = "conv"
+_C.MVIT.REV.PRE_Q_FUSION = "avg"
+
+# -----------------------------------------------------------------------------
+# Multigrid training options (kept for config parity; not wired in reference)
+# -----------------------------------------------------------------------------
+_C.MULTIGRID = CfgNode()
+
+_C.MULTIGRID.EPOCH_FACTOR = 1.5
+_C.MULTIGRID.SHORT_CYCLE = False
+_C.MULTIGRID.SHORT_CYCLE_FACTORS = [0.5, 0.707]
+_C.MULTIGRID.LONG_CYCLE = False
+_C.MULTIGRID.LONG_CYCLE_FACTORS = [
+    [0.25, 0.707],
+    [0.5, 0.707],
+    [0.5, 1],
+    [1, 1],
+]
+_C.MULTIGRID.BN_BASE_SIZE = 8
+_C.MULTIGRID.EVAL_FREQ = 3
+_C.MULTIGRID.LONG_CYCLE_SAMPLING_RATE = 0
+_C.MULTIGRID.DEFAULT_B = 0
+_C.MULTIGRID.DEFAULT_T = 0
+_C.MULTIGRID.DEFAULT_S = 0
+
+
+def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
+    """Validate and derive fields (reference configs/defaults.py:704-717,
+    extended with mesh/batch inference)."""
+    assert cfg.RESNET.NUM_GROUPS > 0
+    assert cfg.RESNET.WIDTH_PER_GROUP > 0
+    assert cfg.RESNET.WIDTH_PER_GROUP % cfg.RESNET.NUM_GROUPS == 0
+
+    if cfg.TRAIN.BATCH_SIZE == -1:
+        cfg.TRAIN.BATCH_SIZE = (
+            cfg.DATA.BATCHSIZE_PER_GPU * cfg.NUM_GPUS * cfg.NUM_SHARDS
+        )
+
+    assert cfg.TPU.COMPUTE_DTYPE in ("float32", "bfloat16")
+    assert cfg.BN.NORM_TYPE in (
+        "batchnorm",
+        "sub_batchnorm",
+        "sync_batchnorm",
+    )
+    if cfg.BN.GLOBAL_SYNC:
+        assert cfg.BN.NUM_SYNC_DEVICES in (None, -1), (
+            "BN.GLOBAL_SYNC requires NUM_SYNC_DEVICES unset"
+        )
+    return cfg
+
+
+def get_cfg() -> CfgNode:
+    """Get a copy of the default config."""
+    return _C.clone()

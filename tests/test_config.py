@@ -1,0 +1,157 @@
+"""Config system tests: YACS-compatible surface, reference YAML parity."""
+
+import math
+import os
+import tempfile
+
+import pytest
+
+from advise_tpu.config import (
+    CfgNode,
+    assert_and_infer_cfg,
+    get_cfg,
+    load_config,
+    parse_args,
+)
+
+
+def test_defaults_reference_keys():
+    """The key surface the reference recipes rely on must exist with the
+    reference's default values (reference configs/defaults.py)."""
+    cfg = get_cfg()
+    assert cfg.NUM_GPUS == 4
+    assert cfg.PIPELINE == ["train"]
+    assert cfg.TASK == "tmodeling"
+    assert cfg.SSL.RANGE == [1, 2, 4, 8]
+    assert cfg.CONTRASTIVE.T == 0.07
+    assert cfg.CONTRASTIVE.QUEUE_LEN == 65536
+    assert cfg.CONTRASTIVE.DELTA_CLIPS_MIN == -math.inf
+    assert cfg.SOLVER.WARMUP_EPOCHS == 10.0
+    assert cfg.AUG.RAND_CROP_RATIO == (3.0 / 4.0, 4.0 / 3.0)
+    assert cfg.RESNET.NUM_BLOCK_TEMP_KERNEL == [[3], [4], [6], [3]]
+    assert cfg.BN.NUM_SYNC_DEVICES == 4
+    assert cfg.MVIT.PATCH_STRIDE == [2, 4, 4]
+
+
+def test_restored_nodes():
+    """Nodes the reference fork dropped but its models read must be
+    first-class here (SURVEY.md §0)."""
+    cfg = get_cfg()
+    assert cfg.SLOWFAST.ALPHA == 8
+    assert cfg.SLOWFAST.BETA_INV == 8
+    assert cfg.X3D.BOTTLENECK_FACTOR == 2.25
+    assert cfg.MASK.PRETRAIN_DEPTH == [15]
+    assert cfg.MVIT.REV.ENABLE is False
+    assert cfg.DATA.TRAIN_CROP_SIZE == 224
+    assert cfg.TRAIN.BATCH_SIZE == -1
+    assert cfg.NUM_SHARDS == 1
+
+
+def test_clone_isolation():
+    a = get_cfg()
+    b = get_cfg()
+    a.SSL.RANGE.append(16)
+    a.MODEL.NUM_CLASSES = 7
+    assert b.SSL.RANGE == [1, 2, 4, 8]
+    assert b.MODEL.NUM_CLASSES == 5
+
+
+def test_merge_from_yaml(tmp_path):
+    yaml_text = """
+TASK: speed
+MODEL:
+    MODEL_NAME: ResNet
+    NUM_CLASSES: 4
+SOLVER:
+    BASE_LR: 4e-2
+    COSINE_AFTER_WARMUP: true
+DATA:
+    NUM_CLIP: 2
+"""
+    p = tmp_path / "test.yaml"
+    p.write_text(yaml_text)
+    cfg = get_cfg()
+    cfg.merge_from_file(str(p))
+    assert cfg.TASK == "speed"
+    assert cfg.MODEL.NUM_CLASSES == 4
+    assert cfg.SOLVER.BASE_LR == 0.04
+    assert cfg.SOLVER.COSINE_AFTER_WARMUP is True
+    assert cfg.DATA.NUM_CLIP == 2
+    # untouched keys keep defaults
+    assert cfg.MODEL.ARCH == "Slow"
+
+
+def test_merge_unknown_key_raises(tmp_path):
+    p = tmp_path / "bad.yaml"
+    p.write_text("NOT_A_KEY: 1\n")
+    cfg = get_cfg()
+    with pytest.raises(KeyError):
+        cfg.merge_from_file(str(p))
+
+
+def test_merge_from_list():
+    cfg = get_cfg()
+    cfg.merge_from_list(
+        [
+            "TASK", "speed",
+            "SOLVER.BASE_LR", "0.01",
+            "SSL.RANGE", "[1,2]",
+            "TRAIN.AUTO_RESUME", "True",
+            "DATA.DATADIR", "/data/videos",
+        ]
+    )
+    assert cfg.TASK == "speed"
+    assert cfg.SOLVER.BASE_LR == 0.01
+    assert cfg.SSL.RANGE == [1, 2]
+    assert cfg.TRAIN.AUTO_RESUME is True
+    assert cfg.DATA.DATADIR == "/data/videos"
+
+
+def test_merge_type_mismatch_raises():
+    cfg = get_cfg()
+    with pytest.raises(TypeError):
+        cfg.merge_from_list(["SOLVER.BASE_LR", "'a-string'"])
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["SOLVER.NOT_A_KEY", "1"])
+
+
+def test_assert_and_infer_batch():
+    cfg = get_cfg()
+    cfg.DATA.BATCHSIZE_PER_GPU = 8
+    cfg.NUM_GPUS = 4
+    cfg = assert_and_infer_cfg(cfg)
+    assert cfg.TRAIN.BATCH_SIZE == 32
+
+
+def test_parse_args_surface(tmp_path):
+    p = tmp_path / "a.yaml"
+    p.write_text("TASK: speed\n")
+    args = parse_args(
+        ["--cfg", str(p), "--output", "/tmp/run1", "SOLVER.BASE_LR", "0.5"]
+    )
+    cfg = load_config(args)
+    assert cfg.TASK == "speed"
+    assert cfg.LOGDIR == "/tmp/run1"
+    assert cfg.SOLVER.BASE_LR == 0.5
+
+
+def test_repo_yaml_presets_load():
+    """Every YAML we ship must merge cleanly into the defaults."""
+    import glob
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    files = glob.glob(os.path.join(root, "**", "*.yaml"), recursive=True)
+    assert files, "no preset configs found"
+    for f in files:
+        cfg = get_cfg()
+        cfg.merge_from_file(f)
+        assert_and_infer_cfg(cfg)
+
+
+def test_pickle_roundtrip():
+    import pickle
+
+    cfg = get_cfg()
+    cfg2 = pickle.loads(pickle.dumps(cfg))
+    assert cfg2.SSL.RANGE == [1, 2, 4, 8]
+    assert isinstance(cfg2.SSL, CfgNode)
