@@ -1,0 +1,114 @@
+"""Device mesh construction and distributed runtime init.
+
+TPU-native replacement for the reference's NCCL process-group layer
+(reference ``utils/distributed.py:21-76``): instead of one torch process per
+GPU with ``init_process_group``, we run SPMD — a single program over a
+``jax.sharding.Mesh`` with two axes:
+
+- ``data``: the outer data-parallel axis (gradient psum rides this + sync),
+- ``sync``: the inner axis over which BatchNorm statistics are synchronized.
+
+The reference's ``BN.NUM_SYNC_DEVICES`` subgrouping (``models/
+batchnorm_helper.py:16-37`` — sync BN stats over groups of N devices, not the
+world) maps to the size of the ``sync`` axis: devices sharing a ``data``
+coordinate form one BN sync group. ``BN.GLOBAL_SYNC`` maps to syncing over
+both axes. Gradients are averaged over both axes (the whole world), matching
+DDP's world allreduce (reference ``models/build.py:76-87``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+# Canonical mesh axis names.
+DATA_AXIS = "data"
+SYNC_AXIS = "sync"
+# Batch dimension is sharded over both axes (flattened).
+BATCH_AXES = (DATA_AXIS, SYNC_AXIS)
+
+
+def distributed_init(cfg) -> None:
+    """Initialize multi-host JAX if launched under a multi-host coordinator.
+
+    Single-host (the common case for tests and one TPU slice) is a no-op.
+    Mirrors the role of reference ``utils/distributed.py:21-76`` (SLURM /
+    torchrun env rendezvous) but over JAX's coordinator. Sets the derived
+    cfg fields the reference injects: RANK, LOCAL_RANK, NUM_WORLDS.
+    """
+    if (
+        "COORDINATOR_ADDRESS" in os.environ
+        and jax.process_count() == 1
+        and not jax.distributed.is_initialized()
+    ):
+        jax.distributed.initialize()
+
+    cfg.RANK = jax.process_index()
+    cfg.LOCAL_RANK = 0  # SPMD: one process drives all local devices
+    # NUM_WORLDS in the reference = number of ranks = number of accelerators
+    # (one process per GPU). Here it is the device count, so the linear-LR
+    # batch scaling (utils/solver.py:7-16) stays equivalent.
+    cfg.NUM_WORLDS = jax.device_count()
+
+
+def mesh_shape(cfg, n_devices: Optional[int] = None) -> Tuple[int, int]:
+    """Resolve (data, sync) axis sizes from cfg and the device count."""
+    n = n_devices if n_devices is not None else jax.device_count()
+    if cfg.BN.GLOBAL_SYNC:
+        sync = n
+    else:
+        sync = int(cfg.TPU.MESH_SYNC)
+        if sync <= 0:
+            sync = min(int(cfg.BN.NUM_SYNC_DEVICES or 1), n)
+        sync = min(sync, n)
+    while n % sync != 0:
+        sync -= 1  # fall back to the largest divisor
+    data = n // sync
+    return data, sync
+
+
+def build_mesh(cfg, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build the ('data', 'sync') mesh.
+
+    Adjacent devices share a sync group, which on a TPU slice keeps BN-stat
+    psums on the shortest ICI paths.
+    """
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    data, sync = mesh_shape(cfg, n_devices=devs.size)
+    logger.info("Mesh: data=%d sync=%d over %d devices", data, sync, devs.size)
+    return Mesh(devs.reshape(data, sync), (DATA_AXIS, SYNC_AXIS))
+
+
+def bn_axis_names(cfg) -> Tuple[str, ...]:
+    """Mesh axes over which BatchNorm statistics are synchronized."""
+    if cfg.BN.NORM_TYPE != "sync_batchnorm":
+        return ()
+    if cfg.BN.GLOBAL_SYNC:
+        return (DATA_AXIS, SYNC_AXIS)
+    return (SYNC_AXIS,)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, batch_dim: int = 0) -> NamedSharding:
+    """Sharding that splits dim `batch_dim` over the whole device world."""
+    spec = [None] * ndim
+    spec[batch_dim] = BATCH_AXES
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_size(cfg, mesh: Mesh) -> int:
+    """Per-device batch size for a global batch sharded over the mesh."""
+    n = mesh.devices.size
+    global_batch = cfg.DATA.BATCHSIZE_PER_GPU * n
+    assert global_batch % n == 0
+    return global_batch // n

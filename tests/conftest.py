@@ -5,12 +5,15 @@ Forces JAX onto a virtual 8-device CPU mesh so all distributed behavior
 is exercised without TPU hardware — the JAX equivalent of a fake-collective
 backend, which the reference lacks entirely (SURVEY.md §4).
 
-Must run before any `import jax` in the test process.
+NOTE: this environment bakes ``JAX_PLATFORMS=axon`` (a real TPU tunnel) into
+the interpreter via sitecustomize, and jax may already be imported by the
+time conftest runs — so we must both overwrite the env var *and* update the
+live jax config, before any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +22,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.device_count() == 8, (
+    f"tests need the 8-device CPU mesh, got {jax.devices()}"
+)
