@@ -1,0 +1,372 @@
+"""On-device augmentation: fused, batched, per-clip-parameterized.
+
+The TPU replacement for the reference's per-frame PIL host pipeline
+(reference ``datasets/augmentation.py`` + the hot loop in
+``datasets/sampling.py:313-336``, SURVEY.md §3.5). Host workers deliver
+uint8 ``[B, K, T, H, W, C]`` at a fixed ingest geometry; one jitted call
+produces normalized compute-dtype clips. XLA fuses the whole chain into a
+few kernels over VMEM-resident tiles; there is no per-frame Python.
+
+Reference-semantics notes (the fidelity contract, BASELINE.json):
+
+- ``aug_mode='frame'`` with a fixed per-clip seed (reference
+  ``sampling.py:316-325``) means ALL frames of a clip share the same crop
+  box / flip / color factors — reproduced here by drawing parameters per
+  clip and broadcasting over T. Frame-dependent quantities (PIL contrast
+  uses each frame's own luma mean) stay per-frame, as in PIL.
+- Brightness/contrast/saturation follow PIL ImageEnhance exactly:
+  ``b*img``; ``mean_L + c*(img-mean_L)`` with the L-mean computed like
+  ``ImageStat`` (luma 299/587/114, per-frame, +0.5 rounding);
+  ``L + s*(img-L)``. Values round+clip to uint8 range after each op, in a
+  random order per clip, applied with probability p — matching
+  ``RandomColorJitter`` (reference ``augmentation.py:24-56``).
+- The reference's hue jitter is a silent no-op (uint8 truncation bug,
+  ``augmentation.py:50-52``); we implement a real HSV hue rotation with
+  the same parameter scale (PIL uint8 hue units), which at the default
+  h<=0.2 is visually identical.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LUMA = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+
+
+def _round_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """PIL stores after each enhance op as uint8: round half away from zero,
+    clip to [0, 255]. Stay in float to keep the op chain fused."""
+    return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
+
+
+def _luma(x: jnp.ndarray) -> jnp.ndarray:
+    """PIL 'L' conversion: truncating integer luma."""
+    return jnp.floor(x @ LUMA)
+
+
+# ---------------------------------------------------------------------------
+# color ops on a single clip [T, H, W, C] in float [0, 255]
+# ---------------------------------------------------------------------------
+
+
+def adjust_brightness(clip, factor):
+    return _round_u8(clip * factor)
+
+
+def adjust_contrast(clip, factor):
+    mean = jnp.floor(jnp.mean(_luma(clip), axis=(1, 2), keepdims=True) + 0.5)
+    return _round_u8(mean[..., None] + factor * (clip - mean[..., None]))
+
+
+def adjust_saturation(clip, factor):
+    l = _luma(clip)[..., None]
+    return _round_u8(l + factor * (clip - l))
+
+
+def rgb_to_hsv(x: jnp.ndarray) -> jnp.ndarray:
+    """x in [0,1] -> (h,s,v) in [0,1]."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    mx = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    d = mx - mn
+    safe_d = jnp.where(d == 0, 1.0, d)
+    h = jnp.where(
+        mx == r,
+        (g - b) / safe_d % 6.0,
+        jnp.where(mx == g, (b - r) / safe_d + 2.0, (r - g) / safe_d + 4.0),
+    )
+    h = jnp.where(d == 0, 0.0, h / 6.0)
+    s = jnp.where(mx == 0, 0.0, d / jnp.where(mx == 0, 1.0, mx))
+    return jnp.stack([h, s, mx], axis=-1)
+
+
+def hsv_to_rgb(x: jnp.ndarray) -> jnp.ndarray:
+    h, s, v = x[..., 0], x[..., 1], x[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def adjust_hue(clip, shift_u8):
+    """Rotate hue by shift_u8/255 of a turn (PIL uint8 HSV scale)."""
+    hsv = rgb_to_hsv(clip / 255.0)
+    h = (hsv[..., 0] + shift_u8 / 255.0) % 1.0
+    out = hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
+    return _round_u8(out * 255.0)
+
+
+def color_jitter_clip(clip, key, p, b, c, s, h):
+    """RandomColorJitter on one clip (reference augmentation.py:24-56):
+    one factor set + one op order per clip, applied with probability p."""
+    k_apply, k_b, k_c, k_s, k_h, k_perm = jax.random.split(key, 6)
+    bf = jax.random.uniform(k_b, (), minval=max(0.0, 1.0 - b), maxval=1.0 + b)
+    cf = jax.random.uniform(k_c, (), minval=max(0.0, 1.0 - c), maxval=1.0 + c)
+    sf = jax.random.uniform(k_s, (), minval=max(0.0, 1.0 - s), maxval=1.0 + s)
+    hf = jax.random.uniform(k_h, (), minval=-h, maxval=h)
+    order = jax.random.permutation(k_perm, 4)
+
+    branches = [
+        lambda x: adjust_brightness(x, bf),
+        lambda x: adjust_contrast(x, cf),
+        lambda x: adjust_saturation(x, sf),
+        lambda x: adjust_hue(x, hf),
+    ]
+
+    def body(i, x):
+        return jax.lax.switch(order[i], branches, x)
+
+    jittered = jax.lax.fori_loop(0, 4, body, clip)
+    apply = jax.random.uniform(k_apply, ()) < p
+    return jnp.where(apply, jittered, clip)
+
+
+def grayscale_clip(clip, key, p):
+    """RandomGrayscale (reference augmentation.py:13-21): PIL L conversion
+    replicated to 3 channels."""
+    l = _luma(clip)[..., None]
+    gray = jnp.broadcast_to(l, clip.shape)
+    return jnp.where(jax.random.uniform(key, ()) < p, gray, clip)
+
+
+# ---------------------------------------------------------------------------
+# geometric ops
+# ---------------------------------------------------------------------------
+
+
+def random_crop_clip(clip, key, size: int):
+    """Fixed-size random crop, same box for all frames (reference
+    RandomCrop, augmentation.py:67-80: offset uniform in [0, dim-size-1])."""
+    t, h, w, c = clip.shape
+    k1, k2 = jax.random.split(key)
+    top = jnp.where(
+        h == size, 0, jax.random.randint(k1, (), 0, max(h - size, 1))
+    )
+    left = jnp.where(
+        w == size, 0, jax.random.randint(k2, (), 0, max(w - size, 1))
+    )
+    return jax.lax.dynamic_slice(clip, (0, top, left, 0), (t, size, size, c))
+
+
+def hflip_clip(clip, key, p=0.5):
+    return jnp.where(jax.random.uniform(key, ()) < p, clip[:, :, ::-1, :], clip)
+
+
+def resized_crop_clip(
+    clip, box, size: Tuple[int, int], method: str = "linear", antialias: bool = True
+):
+    """Crop `box` = (top, left, height, width) (float, traced) and resize to
+    `size` via scale_and_translate — the XLA analog of PIL's antialiased
+    resize. Applied frame-wise with the same box (vmapped over T)."""
+    top, left, bh, bw = box
+    oh, ow = size
+    scale = jnp.stack([oh / bh, ow / bw])
+    translation = jnp.stack([-top * oh / bh, -left * ow / bw])
+
+    def one(frame):
+        return jax.image.scale_and_translate(
+            frame,
+            (oh, ow, frame.shape[-1]),
+            (0, 1),
+            scale,
+            translation,
+            method=method,
+            antialias=antialias,
+        )
+
+    return jax.vmap(one)(clip)
+
+
+def sample_rrc_box(key, h: int, w: int, scale, ratio, n_attempts: int = 10):
+    """torchvision RandomResizedCrop box sampling (reference
+    transform.py RandomResizedCropAndInterpolation / torchvision
+    get_params), vectorized over the 10 attempts with a mask-select instead
+    of data-dependent control flow."""
+    k_area, k_ratio, k_top, k_left = jax.random.split(key, 4)
+    area = h * w
+    target_area = area * jax.random.uniform(
+        k_area, (n_attempts,), minval=scale[0], maxval=scale[1]
+    )
+    log_ratio = (jnp.log(ratio[0]), jnp.log(ratio[1]))
+    aspect = jnp.exp(
+        jax.random.uniform(
+            k_ratio, (n_attempts,), minval=log_ratio[0], maxval=log_ratio[1]
+        )
+    )
+    ws = jnp.round(jnp.sqrt(target_area * aspect))
+    hs = jnp.round(jnp.sqrt(target_area / aspect))
+    ok = (ws <= w) & (hs <= h)
+    # random offsets for every attempt; valid ranges differ per attempt so
+    # scale a single uniform draw.
+    u_top = jax.random.uniform(k_top, (n_attempts,))
+    u_left = jax.random.uniform(k_left, (n_attempts,))
+    tops = jnp.floor(u_top * (h - hs + 1))
+    lefts = jnp.floor(u_left * (w - ws + 1))
+    # first valid attempt, else center-crop fallback (torchvision semantics)
+    idx = jnp.argmax(ok)
+    any_ok = jnp.any(ok)
+    in_ratio = w / h
+    fb_w = jnp.where(
+        in_ratio < ratio[0], w, jnp.where(in_ratio > ratio[1], jnp.round(h * ratio[1]), w)
+    )
+    fb_h = jnp.where(
+        in_ratio < ratio[0], jnp.round(w / ratio[0]), jnp.where(in_ratio > ratio[1], h, h)
+    )
+    fb_top = jnp.round((h - fb_h) / 2.0)
+    fb_left = jnp.round((w - fb_w) / 2.0)
+    top = jnp.where(any_ok, tops[idx], fb_top)
+    left = jnp.where(any_ok, lefts[idx], fb_left)
+    bh = jnp.where(any_ok, hs[idx], fb_h)
+    bw = jnp.where(any_ok, ws[idx], fb_w)
+    return (top, left, bh, bw)
+
+
+def normalize(x, mean, std):
+    """[0,255] -> ImageNet-normalized float (reference AugsWarper norm)."""
+    mean = jnp.asarray(mean, jnp.float32) * 255.0
+    std = jnp.asarray(std, jnp.float32) * 255.0
+    return (x - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# pipelines
+# ---------------------------------------------------------------------------
+
+
+def _per_clip(fn):
+    """Lift a (clip [T,H,W,C], key) -> clip function over [N,T,H,W,C]."""
+    return jax.vmap(fn, in_axes=(0, 0))
+
+
+def make_simple_train_aug(cfg):
+    """AUG.TYPE='simple': fixed Resize (done at ingest) -> RandomCrop ->
+    RandomColorJitter -> Normalize (reference datasets/__init__.py:18-26).
+    Input u8 [B,K,T,H,W,C] at ingest geometry; output float32 target-size."""
+    size = int(cfg.AUG.TARGET_SIZE)
+    p, b, c, s, h = cfg.AUG.COLOR
+    mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+
+    def one_clip(clip_u8, key):
+        k_crop, k_col = jax.random.split(key)
+        clip = clip_u8.astype(jnp.float32)
+        clip = random_crop_clip(clip, k_crop, size)
+        clip = color_jitter_clip(clip, k_col, p, b, c, s, h)
+        return normalize(clip, mean, std)
+
+    def apply(batch_u8, key):
+        bsz, k = batch_u8.shape[:2]
+        flat = batch_u8.reshape(bsz * k, *batch_u8.shape[2:])
+        keys = jax.random.split(key, bsz * k)
+        out = _per_clip(one_clip)(flat, keys)
+        return out.reshape(bsz, k, *out.shape[1:])
+
+    return apply
+
+
+def make_rrc_aug(cfg, target_size: Optional[int] = None, scale=None, ratio=None,
+                 random_flip: bool = False):
+    """RandomResizedCrop(+Normalize) pipeline — AUG.TYPE='OnlyCrop' and the
+    validation aug (reference datasets/__init__.py:28-35, 88-90)."""
+    size = int(target_size if target_size is not None else cfg.AUG.TARGET_SIZE)
+    scale = tuple(scale if scale is not None else (cfg.AUG.MIN_AREA, 1.0))
+    ratio = tuple(ratio if ratio is not None else cfg.AUG.RAND_CROP_RATIO)
+    mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+
+    def one_clip(clip_u8, key):
+        k_box, k_flip = jax.random.split(key)
+        t, h, w, c = clip_u8.shape
+        clip = clip_u8.astype(jnp.float32)
+        box = sample_rrc_box(k_box, h, w, scale, ratio)
+        clip = resized_crop_clip(clip, box, (size, size))
+        if random_flip:
+            clip = hflip_clip(clip, k_flip)
+        return normalize(jnp.clip(clip, 0.0, 255.0), mean, std)
+
+    def apply(batch_u8, key):
+        bsz, k = batch_u8.shape[:2]
+        flat = batch_u8.reshape(bsz * k, *batch_u8.shape[2:])
+        keys = jax.random.split(key, bsz * k)
+        out = _per_clip(one_clip)(flat, keys)
+        return out.reshape(bsz, k, *out.shape[1:])
+
+    return apply
+
+
+def make_infer_aug(cfg):
+    """Short-side scale to INFER.RES then random square crop (reference
+    datasets/__init__.py:95-97). Ingest already resizes to a fixed geometry
+    whose short side is INFER.RES, so only the crop remains."""
+    size = int(cfg.INFER.RES)
+    mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+
+    def one_clip(clip_u8, key):
+        clip = clip_u8.astype(jnp.float32)
+        clip = random_crop_clip(clip, key, size)
+        return normalize(clip, mean, std)
+
+    def apply(batch_u8, key):
+        bsz, k = batch_u8.shape[:2]
+        flat = batch_u8.reshape(bsz * k, *batch_u8.shape[2:])
+        keys = jax.random.split(key, bsz * k)
+        out = _per_clip(one_clip)(flat, keys)
+        return out.reshape(bsz, k, *out.shape[1:])
+
+    return apply
+
+
+def build_device_aug(cfg, mode: str = "train"):
+    """Dispatch matching reference build_aug (datasets/__init__.py:16-103)."""
+    if mode == "train":
+        if cfg.AUG.TYPE == "simple":
+            return make_simple_train_aug(cfg)
+        if cfg.AUG.TYPE == "OnlyCrop":
+            return make_rrc_aug(cfg, scale=(cfg.AUG.MIN_AREA, 1.0))
+        if cfg.AUG.TYPE == "aa":
+            # RandAugment core lands with the transformer models; base RRC
+            # path works today.
+            return make_rrc_aug(cfg, scale=(cfg.AUG.MIN_AREA, cfg.AUG.MAX_AREA))
+        if cfg.AUG.TYPE == "none":
+            mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+
+            def apply(batch_u8, key):
+                return normalize(batch_u8.astype(jnp.float32), mean, std)
+
+            return apply
+        raise NotImplementedError(f"AUG.TYPE={cfg.AUG.TYPE}")
+    if mode == "speed":
+        return make_rrc_aug(
+            cfg,
+            target_size=cfg.VAL.TARGET_SIZE,
+            scale=(cfg.VAL.MIN_AREA, 1.0),
+            ratio=cfg.VAL.RAND_CROP_RATIO,
+        )
+    if mode == "action":
+        return make_infer_aug(cfg)
+    raise NotImplementedError(mode)
+
+
+def ingest_geometry(cfg, mode: str = "train") -> Tuple[int, int]:
+    """Fixed (W, H) decode geometry per mode. 'simple' uses AUG.RESIZE
+    verbatim (the reference resizes to this exact fixed size,
+    augmentation.py:58-64). RRC modes ingest at a 4:3 canvas around the
+    target so crops have material to sample."""
+    if mode == "train" and cfg.AUG.TYPE == "simple":
+        return (int(cfg.AUG.RESIZE[0]), int(cfg.AUG.RESIZE[1]))
+    if mode == "speed":
+        s = int(cfg.VAL.TARGET_SIZE)
+        return (s * 4 // 3, s)
+    if mode == "action":
+        s = int(cfg.INFER.RES)
+        return (s * 4 // 3, s)
+    s = int(cfg.AUG.TARGET_SIZE)
+    return (s * 4 // 3, s)

@@ -1,0 +1,213 @@
+"""Video ingestion backends.
+
+Replaces the reference's decord dependency (reference
+``datasets/video_dataset.py:13-34``) with pluggable readers behind one
+interface. Two TPU-first departures from the reference:
+
+1. **Partial decode**: the reference decodes the *entire* video per item
+   (``datasets/sampling.py:379`` — ``get_batch(range(video_length))``, the
+   CPU hot spot called out in SURVEY.md §3.5). Readers here decode only up
+   to the highest requested frame and keep only requested frames.
+2. **Fused decode+resize to a fixed geometry**: frames are resized during
+   ingest to the fixed (W, H) the aug pipeline needs (the reference's
+   'simple' aug resizes every frame to a fixed AUG.RESIZE anyway —
+   ``datasets/augmentation.py:58-64`` — so this loses nothing), giving the
+   device pipeline static shapes.
+
+Backends: cv2 (FFmpeg) for .avi/.mp4, numpy/torch archives for
+pre-tensorized .npy/.npz/.pt (reference supports .pt:
+``video_dataset.py:19``), and a procedural synthetic generator for tests
+and benchmarks (no media files required).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+class VideoReader:
+    """Interface: ``len(reader)`` frames; ``get_frames(indices, resize_wh)``
+    returns uint8 [T, H, W, C] (RGB)."""
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def get_frames(
+        self, indices: Sequence[int], resize_wh: Optional[Tuple[int, int]] = None
+    ) -> np.ndarray:
+        raise NotImplementedError
+
+
+def _resize_frame(frame: np.ndarray, resize_wh: Optional[Tuple[int, int]]):
+    if resize_wh is None:
+        return frame
+    w, h = resize_wh
+    if frame.shape[0] == h and frame.shape[1] == w:
+        return frame
+    return cv2.resize(frame, (w, h), interpolation=cv2.INTER_LINEAR)
+
+
+class CV2Reader(VideoReader):
+    """Sequential-decode reader over cv2.VideoCapture.
+
+    Decodes once from frame 0 to max(indices), resizing and retaining only
+    the requested frames. Random seeks are avoided on purpose: they are
+    codec-dependent and often slower than sequential decode for the short
+    ranges video SSL uses.
+    """
+
+    def __init__(self, path: str):
+        if not _HAS_CV2:
+            raise RuntimeError("cv2 not available")
+        self.path = path
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise IOError(f"cannot open video: {path}")
+        self._length = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self._fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+        cap.release()
+        if self._length <= 0:
+            raise IOError(f"video reports no frames: {path}")
+
+    def __len__(self) -> int:
+        return self._length
+
+    @property
+    def fps(self) -> float:
+        return self._fps
+
+    def get_frames(self, indices, resize_wh=None) -> np.ndarray:
+        indices = np.asarray(indices, np.int64)
+        max_idx = int(indices.max())
+        wanted = {}
+        needed = set(indices.tolist())
+        cap = cv2.VideoCapture(self.path)
+        try:
+            pos = 0
+            while pos <= max_idx and needed:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if pos in needed:
+                    frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    wanted[pos] = _resize_frame(frame, resize_wh)
+                    needed.discard(pos)
+                pos += 1
+        finally:
+            cap.release()
+        if needed:
+            # codec undercounted frames; repeat the last decoded frame
+            if not wanted:
+                raise IOError(f"decode produced no frames: {self.path}")
+            last = wanted[max(wanted)]
+            for i in needed:
+                wanted[i] = last
+        return np.stack([wanted[int(i)] for i in indices])
+
+
+class ArrayReader(VideoReader):
+    """Pre-tensorized videos: .npy/.npz uint8 [T, H, W, C] archives, or the
+    reference's .pt dict {'data': tensor, 'info': {'length': [T]}}
+    (reference ``video_dataset.py:19,113-115``)."""
+
+    def __init__(self, path_or_array):
+        if isinstance(path_or_array, np.ndarray):
+            arr = path_or_array
+        else:
+            ext = os.path.splitext(str(path_or_array))[1]
+            if ext == ".npy":
+                arr = np.load(path_or_array, mmap_mode="r")
+            elif ext == ".npz":
+                arr = np.load(path_or_array)["data"]
+            elif ext == ".pt":
+                import torch
+
+                obj = torch.load(path_or_array, map_location="cpu")
+                arr = obj["data"].numpy()
+            else:
+                raise NotImplementedError(f"unsupported tensor video: {ext}")
+        assert arr.ndim == 4 and arr.shape[-1] in (1, 3), arr.shape
+        self._arr = arr
+
+    def __len__(self) -> int:
+        return self._arr.shape[0]
+
+    def get_frames(self, indices, resize_wh=None) -> np.ndarray:
+        frames = np.asarray(self._arr[np.asarray(indices, np.int64)])
+        if resize_wh is None:
+            return frames
+        return np.stack([_resize_frame(f, resize_wh) for f in frames])
+
+
+class SyntheticReader(VideoReader):
+    """Procedural video: moving squares over a gradient background.
+
+    Every frame is a pure function of (seed, t), so only requested frames
+    are materialized. Motion position advances linearly in t, which makes
+    playback-speed classification learnable: the inter-frame displacement
+    of the squares reveals the sampling stride.
+    """
+
+    def __init__(self, seed: int, length: int = 250, res: int = 128, cls_id: int = 0):
+        self.seed = int(seed)
+        self._length = int(length)
+        self.res = int(res)
+        self.cls_id = int(cls_id)
+        rng = np.random.default_rng(self.seed)
+        self.n_obj = 3
+        self.pos0 = rng.uniform(0, 1, size=(self.n_obj, 2))
+        self.vel = rng.uniform(-0.02, 0.02, size=(self.n_obj, 2))
+        self.size = rng.integers(max(res // 12, 4), max(res // 5, 8), size=self.n_obj)
+        self.color = rng.integers(40, 255, size=(self.n_obj, 3))
+        self.bg_phase = rng.uniform(0, 2 * np.pi, size=3)
+
+    def __len__(self) -> int:
+        return self._length
+
+    def _frame(self, t: int) -> np.ndarray:
+        r = self.res
+        yy = np.linspace(0, 1, r, dtype=np.float32)[:, None]
+        xx = np.linspace(0, 1, r, dtype=np.float32)[None, :]
+        frame = np.stack(
+            [
+                127.5 * (1 + np.sin(2 * np.pi * (xx + yy) + p + 0.01 * t))
+                for p in self.bg_phase
+            ],
+            axis=-1,
+        )
+        for k in range(self.n_obj):
+            cy, cx = (self.pos0[k] + t * self.vel[k]) % 1.0
+            s = int(self.size[k])
+            y0 = int(cy * (r - s))
+            x0 = int(cx * (r - s))
+            frame[y0 : y0 + s, x0 : x0 + s, :] = self.color[k]
+        return frame.astype(np.uint8)
+
+    def get_frames(self, indices, resize_wh=None) -> np.ndarray:
+        frames = [self._frame(int(t)) for t in np.asarray(indices, np.int64)]
+        if resize_wh is not None:
+            frames = [_resize_frame(f, resize_wh) for f in frames]
+        return np.stack(frames)
+
+
+def open_video(path: str, backend: str = "auto") -> VideoReader:
+    """Open a video file with the right backend (reference ``read_data``,
+    ``video_dataset.py:13-34``)."""
+    ext = os.path.splitext(path)[1].lower()
+    if backend == "auto":
+        backend = "tensor" if ext in (".npy", ".npz", ".pt") else "cv2"
+    if backend == "cv2":
+        return CV2Reader(path)
+    if backend == "tensor":
+        return ArrayReader(path)
+    raise NotImplementedError(f"unknown video backend: {backend}")
