@@ -121,6 +121,25 @@ class CfgNode(dict):
         return (CfgNode, (dict(self),))
 
 
+class CfgRef:
+    """Attribute-transparent non-dict wrapper around a CfgNode.
+
+    Flax converts dict-typed module attributes to FrozenDict (losing
+    attribute access); passing ``CfgRef(cfg)`` as a module field avoids the
+    conversion while keeping ``cfg.SECTION.KEY`` access."""
+
+    __slots__ = ("node",)
+
+    def __init__(self, node: "CfgNode"):
+        object.__setattr__(self, "node", node)
+
+    def __getattr__(self, name: str) -> Any:
+        return getattr(object.__getattribute__(self, "node"), name)
+
+    def __repr__(self) -> str:
+        return f"CfgRef({self.node!r})"
+
+
 def _decode(value: str) -> Any:
     """Decode a string from --opts into a python literal when possible."""
     if not isinstance(value, str):

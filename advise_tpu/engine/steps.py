@@ -1,0 +1,185 @@
+"""Jitted SPMD train/eval steps.
+
+One ``jit(shard_map(...))`` program per task (reference: the per-iteration
+python in ``tools/train.py:27-287``). Inside the per-device function:
+
+  device aug (fused)  ->  forward  ->  loss  ->  grad  ->  pmean(grads)
+  ->  optimizer direction  ->  params update
+
+The gradient pmean over BATCH_AXES is the DDP allreduce; BN layers psum
+their statistics over the sync axis internally. The whole chain compiles
+into a single XLA program per step — aug, compute, and collectives fuse,
+which is the performance thesis of this rebuild (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from advise_tpu.engine.state import TrainState
+from advise_tpu.models import losses as L
+from advise_tpu.parallel.collectives import pmean_tree, replica_index
+from advise_tpu.parallel.mesh import BATCH_AXES
+from advise_tpu.solver.optimizer import apply_direction, global_grad_norm
+
+
+def speed_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=True):
+    """Speed-pretext loss (reference tools/train.py output_handler for
+    TASK='speed': CE or smoothed-BCE over speed logits + acc@1).
+
+    clips: [B, K, T, H, W, C] normalized; labels infos['spd_label'] [B, K].
+    The reference flattens clips into the batch (tools/train.py:56-61).
+    """
+    b, k = clips.shape[:2]
+    x = clips.reshape(b * k, *clips.shape[2:])
+    labels = infos["spd_label"].reshape(b * k)
+    variables = {"params": params, "batch_stats": batch_stats}
+    out, mutated = model.apply(
+        variables,
+        x,
+        train=train,
+        mutable=["batch_stats"] if train else [],
+        rngs={"dropout": rng} if train else None,
+    ) if train else (
+        model.apply(variables, x, train=False),
+        {"batch_stats": batch_stats},
+    )
+    logits = out
+    metric = cfg.SSL.METRIC[0]
+    if metric in ("bce_logit", "smoothing_bce_logit"):
+        onehot = jax.nn.one_hot(labels, logits.shape[-1])
+        loss = L.bce_logit(logits, onehot, smoothing=cfg.SSL.SMOOTHING)
+    else:
+        loss = L.cross_entropy(logits, labels)
+    acc = L.top_k_accuracy(logits, labels, k=1)
+    stats = {"loss_spd": loss, "acc_spd": acc}
+    return loss, (mutated.get("batch_stats", batch_stats), stats)
+
+
+def action_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=True):
+    """Action recognition / linear probe (reference output_handler for
+    TASK='action_recog': CE + acc@1/acc@5)."""
+    b, k = clips.shape[:2]
+    x = clips.reshape(b * k, *clips.shape[2:])
+    labels = jnp.repeat(infos["cls_id"].reshape(b), k)
+    variables = {"params": params, "batch_stats": batch_stats}
+    out, mutated = model.apply(
+        variables,
+        x,
+        train=train,
+        mutable=["batch_stats"] if train else [],
+        rngs={"dropout": rng} if train else None,
+    ) if train else (
+        model.apply(variables, x, train=False),
+        {"batch_stats": batch_stats},
+    )
+    loss = L.cross_entropy(out, labels)
+    stats = {
+        "loss_cls": loss,
+        "acc@1": L.top_k_accuracy(out, labels, 1),
+        "acc@5": L.top_k_accuracy(out, labels, 5),
+    }
+    return loss, (mutated.get("batch_stats", batch_stats), stats)
+
+
+TASK_LOSSES: Dict[str, Callable] = {
+    "speed": speed_task_loss,
+    "action_recog": action_task_loss,
+}
+
+
+def make_train_step(cfg, mesh, model, bundle, device_aug: Optional[Callable]):
+    """Build the jitted SPMD train step.
+
+    Signature: (state, clips_u8, infos, rng, lr) -> (state, stats)
+    clips_u8 is the raw loader batch (uint8, ingest geometry), sharded on
+    dim 0 over the whole mesh; aug runs on device inside the step.
+    """
+    task_loss = TASK_LOSSES[cfg.TASK]
+    compute_dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+
+    def per_device(state: TrainState, clips_u8, infos, rng, lr):
+        my = replica_index(BATCH_AXES)
+        rng = jax.random.fold_in(jax.random.fold_in(rng, my), state.step)
+        aug_rng, drop_rng = jax.random.split(rng)
+        if device_aug is not None:
+            clips = device_aug(clips_u8, aug_rng)
+        else:
+            clips = clips_u8
+        clips = clips.astype(compute_dtype)
+
+        def loss_fn(params):
+            return task_loss(
+                cfg, model, params, state.batch_stats, clips, infos, drop_rng,
+                train=True,
+            )
+
+        (loss, (new_bs, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = pmean_tree(grads, BATCH_AXES)
+        stats = pmean_tree(stats, BATCH_AXES)
+        stats["grad_norm"] = global_grad_norm(grads)
+        direction, new_opt = bundle.tx.update(grads, state.opt_state, state.params)
+        new_params = apply_direction(
+            state.params, direction, lr, bundle.lr_scales
+        )
+        # batch_stats: running stats may differ across sync groups (the
+        # reference keeps them per-replica too); average over the world so
+        # the replicated state stays consistent.
+        new_bs = pmean_tree(new_bs, BATCH_AXES)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, stats
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            P(),  # state replicated
+            P(BATCH_AXES),  # clips sharded on batch
+            P(BATCH_AXES),  # infos sharded on batch
+            P(),  # rng
+            P(),  # lr
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if cfg.TPU.DONATE else ())
+
+
+def make_eval_step(cfg, mesh, model, device_aug: Optional[Callable]):
+    """Forward-only step returning per-device logits and labels gathered
+    back as global arrays (for validation confusion matrices)."""
+    compute_dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+
+    def per_device(params, batch_stats, clips_u8, infos, rng):
+        my = replica_index(BATCH_AXES)
+        rng = jax.random.fold_in(rng, my)
+        clips = device_aug(clips_u8, rng) if device_aug is not None else clips_u8
+        clips = clips.astype(compute_dtype)
+        b, k = clips.shape[:2]
+        x = clips.reshape(b * k, *clips.shape[2:])
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        return logits.reshape(b, k, -1)
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(BATCH_AXES), P(BATCH_AXES), P()),
+        out_specs=P(BATCH_AXES),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,132 @@
+"""Trainer: the epoch/iteration loop.
+
+Reference: ``tools/train.py:250-344``. Differences are the SPMD shape of
+the work: a single process drives the mesh, the per-iteration python is
+only {host-load -> device_put (prefetched) -> one jitted step -> meters};
+aug/forward/backward/optimizer/collectives all live inside the step.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from advise_tpu.data import build_device_aug, build_loader
+from advise_tpu.data.prefetch import device_put_batch
+from advise_tpu.engine.checkpoint import CheckpointManager, auto_resume
+from advise_tpu.engine.meters import TrainingHelper
+from advise_tpu.engine.state import TrainState, param_count
+from advise_tpu.engine.steps import make_train_step
+from advise_tpu.models import build_model
+from advise_tpu.parallel import build_mesh
+from advise_tpu.solver import adjust_base_lr, build_tx, get_lr_at_epoch
+from advise_tpu.solver.lr_policy import PlateauController
+
+logger = logging.getLogger(__name__)
+
+# infos fields each task needs on device
+TASK_INFO_FIELDS = {
+    "speed": ("spd_label",),
+    "action_recog": ("cls_id",),
+    "tmodeling": ("spd_label", "speeds"),
+    "contrastive": ("item_id",),
+}
+
+
+def select_infos(cfg, infos: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    fields = TASK_INFO_FIELDS.get(cfg.TASK, ())
+    return {k: infos[k] for k in fields if k in infos}
+
+
+def build_train_state(cfg, model_init, tx, rng) -> TrainState:
+    t = cfg.DATA.NUM_FRAMES
+    s = cfg.AUG.TARGET_SIZE
+    sample = jnp.zeros((1, t, s, s, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model_init.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            sample,
+            train=False,
+        )
+    )()
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def trainer(cfg, tb_logger=None) -> TrainState:
+    """(reference tools/train.py trainer :290-344)."""
+    mesh = build_mesh(cfg)
+    cfg.NUM_WORLDS = int(mesh.devices.size)
+    adjust_base_lr(cfg)
+
+    loader = build_loader(cfg, "train")
+    # model twin pair: same params, BN sync axes only matter inside shard_map
+    model = build_model(cfg)
+    model_init = build_model(cfg, sync_axes=())
+    rng = jax.random.PRNGKey(cfg.TRAIN.SEED)
+    bundle = None
+    state = None
+
+    state = build_train_state(cfg, model_init, _TxProxy(), rng)  # placeholder
+    # build_tx needs params; rebuild state with the real tx
+    bundle = build_tx(cfg, state.params)
+    state = state.replace(opt_state=bundle.tx.init(state.params))
+    logger.info("model %s params: %s", cfg.MODEL.MODEL_NAME, f"{param_count(state.params):,}")
+
+    ckpt = CheckpointManager(cfg)
+    state, start_epoch = auto_resume(cfg, ckpt, state)
+
+    device_aug = build_device_aug(cfg, "train") if cfg.TPU.DEVICE_AUG else None
+    step_fn = make_train_step(cfg, mesh, model, bundle, device_aug)
+
+    helper = TrainingHelper(cfg, tb_logger)
+    plateau = (
+        PlateauController(cfg.SOLVER.BASE_LR)
+        if cfg.SOLVER.LR_POLICY == "plateau"
+        else None
+    )
+
+    for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        epoch_iters = loader.steps_per_epoch(epoch)
+        helper.epoch_start(epoch, epoch_iters)
+        for it, (clips, infos) in enumerate(loader.epoch(epoch)):
+            helper.iter_start()
+            epoch_exact = epoch + (it + 1) / max(epoch_iters, 1)
+            if plateau is not None and epoch_exact > cfg.SOLVER.WARMUP_EPOCHS:
+                lr = plateau.lr
+            else:
+                lr = get_lr_at_epoch(cfg, epoch_exact)
+            helper.rt["curr_lr"] = lr
+            clips_d, infos_d = device_put_batch(mesh, clips, select_infos(cfg, infos))
+            state, stats = step_fn(
+                state,
+                clips_d,
+                infos_d,
+                jax.random.fold_in(rng, epoch * 100003 + it),
+                jnp.float32(lr),
+            )
+            helper.update_stats({k: np.asarray(v) for k, v in stats.items()})
+            helper.iter_end(it)
+        summary = helper.epoch_end()
+        if plateau is not None:
+            crit = summary.get("loss_spd", summary.get("loss_cls", 0.0))
+            plateau.step(crit)
+        ckpt.save(state, epoch, summary)
+    return state
+
+
+class _TxProxy:
+    """init-only stand-in so state can be created before build_tx sees the
+    params; replaced immediately after."""
+
+    def init(self, params):
+        return ()

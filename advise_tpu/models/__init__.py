@@ -1,0 +1,56 @@
+"""Model registry + builder.
+
+Reference: ``models/build.py:17-88`` (fvcore Registry + DDP wrap). Here
+``build_model`` returns a Flax module; there is no DDP wrap — data
+parallelism is the train step's psum, and dtype policy replaces AMP.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax.numpy as jnp
+
+from advise_tpu.config.node import CfgRef
+from advise_tpu.models.layers.norm import get_norm
+from advise_tpu.parallel.mesh import bn_axis_names
+
+MODEL_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_model(name: str):
+    def deco(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def compute_dtype(cfg):
+    return jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+
+
+def build_model(cfg, sync_axes: Tuple[str, ...] = None):
+    """Construct the configured model.
+
+    ``sync_axes``: mesh axes for BN sync; pass None to derive from cfg (use
+    () when the model will run outside shard_map).
+    """
+    name = cfg.MODEL.MODEL_NAME
+    if name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"Unknown MODEL.MODEL_NAME={name}; known: {sorted(MODEL_REGISTRY)}"
+        )
+    if sync_axes is None:
+        sync_axes = bn_axis_names(cfg)
+    norm = get_norm(cfg, tuple(sync_axes))
+    return MODEL_REGISTRY[name](CfgRef(cfg), norm, compute_dtype(cfg))
+
+
+# -- registrations (import order matters only for registry population) -----
+from advise_tpu.models.resnet3d import ResNet3D  # noqa: E402
+
+
+@register_model("ResNet")
+def _build_resnet(cfg, norm, dtype):
+    return ResNet3D(cfg=cfg, norm=norm, dtype=dtype)

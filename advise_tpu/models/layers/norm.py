@@ -1,0 +1,143 @@
+"""Batch normalization with cross-replica synchronization.
+
+From-scratch implementation (not flax.linen.BatchNorm) so the reference's
+exact NaiveSyncBatchNorm semantics are reproducible (reference
+``models/batchnorm_helper.py:16-112``; SURVEY.md §7 hard part #3):
+
+- **subgrouped sync**: training statistics are psum'd over the mesh axes in
+  ``sync_axes`` (the ``sync`` axis holds BN.NUM_SYNC_DEVICES devices;
+  BN.GLOBAL_SYNC syncs over the whole mesh) — never over more,
+- **running stats** are updated from the *synced* batch stats with torch
+  momentum convention (``new = (1-m)*old + m*batch``, unbiased variance in
+  the running buffer, biased for normalization),
+- **SubBatchNorm** (multigrid training, reference ``:44-112``): during
+  training stats are computed over ``num_splits`` independent slices of the
+  batch; running stats aggregate across splits.
+
+Works inside ``shard_map`` (axis names resolve) and outside (sync_axes=()).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from advise_tpu.parallel.mesh import bn_axis_names
+
+
+class SyncBatchNorm(nn.Module):
+    """BatchNorm over all axes but the last (channel), with optional
+    cross-replica stat sync and sub-batch splitting."""
+
+    momentum: float = 0.1  # torch convention
+    epsilon: float = 1e-5
+    sync_axes: Tuple[str, ...] = ()
+    num_splits: int = 1
+    use_scale: bool = True
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    zero_init_scale: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        features = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        scale = (
+            self.param(
+                "scale",
+                nn.initializers.zeros if self.zero_init_scale else nn.initializers.ones,
+                (features,),
+                jnp.float32,
+            )
+            if self.use_scale
+            else None
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+
+        xf = x.astype(jnp.float32)
+        if train:
+            if self.num_splits > 1:
+                b = xf.shape[0]
+                assert b % self.num_splits == 0, (b, self.num_splits)
+                xs = xf.reshape(self.num_splits, b // self.num_splits, *xf.shape[1:])
+                red = tuple(range(1, xs.ndim - 1))
+                mean_s = jnp.mean(xs, axis=red)  # [splits, C]
+                meansq_s = jnp.mean(jnp.square(xs), axis=red)
+                if self.sync_axes:
+                    mean_s = lax.pmean(mean_s, self.sync_axes)
+                    meansq_s = lax.pmean(meansq_s, self.sync_axes)
+                var_s = meansq_s - jnp.square(mean_s)
+                # normalize each split with its own stats
+                inv = lax.rsqrt(var_s + self.epsilon)[:, None]
+                flat = xs.reshape(self.num_splits, -1, features)
+                normed = (flat - mean_s[:, None]) * inv
+                y = normed.reshape(xf.shape)
+                mean, var = jnp.mean(mean_s, 0), jnp.mean(var_s, 0)
+                n = xs[0].size / features * (
+                    _axes_size(self.sync_axes) if self.sync_axes else 1
+                )
+            else:
+                red = tuple(range(xf.ndim - 1))
+                mean = jnp.mean(xf, axis=red)
+                meansq = jnp.mean(jnp.square(xf), axis=red)
+                if self.sync_axes:
+                    mean = lax.pmean(mean, self.sync_axes)
+                    meansq = lax.pmean(meansq, self.sync_axes)
+                var = meansq - jnp.square(mean)
+                y = (xf - mean) * lax.rsqrt(var + self.epsilon)
+                n = xf.size / features * (
+                    _axes_size(self.sync_axes) if self.sync_axes else 1
+                )
+            if not self.is_initializing():
+                m = self.momentum
+                # torch stores the unbiased variance in the running buffer
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            y = (xf - ra_mean.value) * lax.rsqrt(ra_var.value + self.epsilon)
+
+        if scale is not None:
+            y = y * scale
+        if bias is not None:
+            y = y + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+def _axes_size(axes: Sequence[str]) -> int:
+    n = 1
+    for a in axes:
+        n *= lax.axis_size(a)
+    return n
+
+
+def get_norm(cfg, sync_axes: Tuple[str, ...]):
+    """Norm factory (reference models/batchnorm_helper.py:16-37 get_norm).
+
+    ``sync_axes`` is () when running outside shard_map (single device,
+    plain-jit eval), else the axes from ``bn_axis_names(cfg)``.
+    """
+    import functools
+
+    if cfg.BN.NORM_TYPE == "batchnorm":
+        return functools.partial(SyncBatchNorm, sync_axes=())
+    if cfg.BN.NORM_TYPE == "sub_batchnorm":
+        return functools.partial(
+            SyncBatchNorm, sync_axes=(), num_splits=cfg.BN.NUM_SPLITS
+        )
+    if cfg.BN.NORM_TYPE == "sync_batchnorm":
+        return functools.partial(SyncBatchNorm, sync_axes=sync_axes)
+    raise NotImplementedError(f"BN.NORM_TYPE={cfg.BN.NORM_TYPE}")
