@@ -389,6 +389,9 @@ _C.MODEL.TEMPORAL_HIDDEN_DIM = 256
 _C.MODEL.TEMPORAL_NUM_EMBEDDINGS = 8
 # Loss function name for supervised/action tasks.
 _C.MODEL.LOSS_FUNC = "cross_entropy"
+# Drop-connect rate for X3D blocks (restored; reference
+# models/video_model_builder.py:759 reads it).
+_C.MODEL.DROPCONNECT_RATE = 0.0
 
 # -----------------------------------------------------------------------------
 # Batch norm options

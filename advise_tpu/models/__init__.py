@@ -49,8 +49,20 @@ def build_model(cfg, sync_axes: Tuple[str, ...] = None):
 
 # -- registrations (import order matters only for registry population) -----
 from advise_tpu.models.resnet3d import ResNet3D  # noqa: E402
+from advise_tpu.models.slowfast import SlowFast  # noqa: E402
+from advise_tpu.models.x3d import X3D  # noqa: E402
 
 
 @register_model("ResNet")
 def _build_resnet(cfg, norm, dtype):
     return ResNet3D(cfg=cfg, norm=norm, dtype=dtype)
+
+
+@register_model("SlowFast")
+def _build_slowfast(cfg, norm, dtype):
+    return SlowFast(cfg=cfg, norm=norm, dtype=dtype)
+
+
+@register_model("X3D")
+def _build_x3d(cfg, norm, dtype):
+    return X3D(cfg=cfg, norm=norm, dtype=dtype)
