@@ -1,0 +1,388 @@
+"""Contrastive SSL algorithms as pure per-device step functions.
+
+Reference: ``models/contrastive.py:130-1171``. Functional mapping:
+
+| reference mutable state           | here (TrainState.ssl)                 |
+|-----------------------------------|----------------------------------------|
+| backbone_hist EMA twin            | ssl['ema_params'] / ['ema_batch_stats']|
+| queue_x ring buffer + ptr         | ssl['queue_x'], ssl['ptr']             |
+| queue_swav                        | ssl['queue_swav'], ssl['swav_started'] |
+| Memory / Memory1D banks           | ssl['memory']                          |
+| knn_mem + train_labels            | ssl['knn_mem'], ssl['knn_labels']      |
+| iter counter                      | TrainState.step                        |
+
+All functions run inside shard_map: cross-replica communication is
+explicit (all_gather for keys/queue updates and memory scatter, psum for
+the distributed Sinkhorn), reproducing the reference's collective pattern
+(SURVEY.md §2.2 census). One deliberate deviation: MoCo/memory-bank
+updates all_gather keys before writing so the replicated buffers stay
+bit-identical across replicas (the reference lets per-rank queue replicas
+silently diverge by enqueueing only local keys).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from advise_tpu.models import losses as L
+from advise_tpu.parallel.collectives import (
+    all_gather_cat,
+    batch_shuffle,
+    batch_unshuffle,
+    replica_index,
+    world_size,
+)
+from advise_tpu.parallel.mesh import BATCH_AXES, SYNC_AXIS
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """(reference Normalize module, contrastive.py:934-946)."""
+    return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + 1e-12)
+
+
+def init_ssl_state(cfg, params, batch_stats, rng) -> Dict[str, Any]:
+    ssl: Dict[str, Any] = {}
+    ctype = cfg.CONTRASTIVE.TYPE
+    dim = cfg.CONTRASTIVE.DIM
+    k = cfg.CONTRASTIVE.QUEUE_LEN
+    length = cfg.CONTRASTIVE.LENGTH
+    stdv = 1.0 / math.sqrt(dim / 3)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    if ctype in ("moco", "byol"):
+        ssl["ema_params"] = jax.tree_util.tree_map(jnp.copy, params)
+        ssl["ema_batch_stats"] = jax.tree_util.tree_map(jnp.copy, batch_stats)
+    if ctype == "moco":
+        # queue init uniform(-stdv, stdv) (reference contrastive.py:87-90)
+        ssl["queue_x"] = jax.random.uniform(
+            r1, (k, dim), jnp.float32, -stdv, stdv
+        )
+        ssl["ptr"] = jnp.zeros((), jnp.int32)
+    if ctype == "swav" and cfg.CONTRASTIVE.SWAV_QEUE_LEN > 0:
+        ssl["queue_swav"] = jnp.zeros(
+            (2, cfg.CONTRASTIVE.SWAV_QEUE_LEN, dim), jnp.float32
+        )
+        ssl["swav_started"] = jnp.zeros((), jnp.bool_)
+    if ctype == "mem":
+        duration = 1
+        ssl["memory"] = jax.random.uniform(
+            r2, (length, duration, dim), jnp.float32, -stdv, stdv
+        )
+    if cfg.CONTRASTIVE.KNN_ON:
+        ssl["knn_mem"] = jax.random.uniform(
+            r3, (length, dim), jnp.float32, -stdv, stdv
+        )
+    return ssl
+
+
+def momentum_at(cfg, epoch_exact: jnp.ndarray) -> jnp.ndarray:
+    """Cosine momentum annealing (reference momentum_anneal_cosine
+    :252-261); constant momentum otherwise."""
+    m0 = cfg.CONTRASTIVE.MOMENTUM
+    if not cfg.CONTRASTIVE.MOMENTUM_ANNEALING:
+        return jnp.float32(m0)
+    return 1.0 - (1.0 - m0) * (
+        jnp.cos(jnp.pi * epoch_exact / cfg.SOLVER.MAX_EPOCH) + 1.0
+    ) * 0.5
+
+
+def update_ema(ssl, params, batch_stats, m) -> Dict[str, Any]:
+    """_update_history (reference :158-172): hist = hist*m + cur*(1-m)."""
+    new = dict(ssl)
+    new["ema_params"] = jax.tree_util.tree_map(
+        lambda h, p: h * m + p * (1.0 - m), ssl["ema_params"], params
+    )
+    new["ema_batch_stats"] = batch_stats  # track current running stats
+    return new
+
+
+def _apply_backbone(model, params, batch_stats, x, train, rng=None):
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        x,
+        train=train,
+        mutable=["batch_stats"] if train else [],
+        rngs={"dropout": rng} if (train and rng is not None) else None,
+    )
+    if train:
+        return out[0], out[1].get("batch_stats", batch_stats)
+    return out, batch_stats
+
+
+def _proj_and_preds(out):
+    if isinstance(out, (list, tuple)):
+        return out[0], [l2_normalize(p) for p in out[1:]]
+    return out, []
+
+
+def compute_keys(cfg, model, ssl, views, rng):
+    """Momentum-encoder keys for a list of views (reference
+    compute_key_feat :308-371), with optional shuffle-BN over the sync
+    axis (reference _batch_shuffle :174-214 with LOCAL_SHUFFLE_BN)."""
+    shuffle_on = (
+        cfg.BN.NORM_TYPE == "sync_batchnorm"
+        and not cfg.BN.GLOBAL_SYNC
+        and cfg.CONTRASTIVE.TYPE != "byol"
+        and cfg.TPU.MESH_SYNC != -1  # shuffle within sync groups
+    )
+    keys = []
+    for i, v in enumerate(views):
+        v = jax.lax.stop_gradient(v)
+        if shuffle_on:
+            v, perm = batch_shuffle(v, jax.random.fold_in(rng, i), SYNC_AXIS)
+        out, _ = _apply_backbone(
+            model, ssl["ema_params"], ssl["ema_batch_stats"], v, train=True
+        )
+        proj, _ = _proj_and_preds(out)
+        key = l2_normalize(proj)
+        if shuffle_on:
+            key = batch_unshuffle(key, perm, SYNC_AXIS)
+        keys.append(jax.lax.stop_gradient(key))
+    return keys
+
+
+def dequeue_and_enqueue(ssl, keys) -> Dict[str, Any]:
+    """Ring-buffer enqueue of the (globally gathered) first-view keys
+    (reference _dequeue_and_enqueue :263-292)."""
+    new = dict(ssl)
+    key = all_gather_cat(keys[0], BATCH_AXES)  # [global_B, dim]
+    k = ssl["queue_x"].shape[0]
+    n = key.shape[0]
+    ptr = ssl["ptr"]
+    queue = jax.lax.dynamic_update_slice(
+        ssl["queue_x"], key.astype(ssl["queue_x"].dtype), (ptr, 0)
+    )
+    new["queue_x"] = queue
+    new["ptr"] = jnp.where(ptr + n >= k, 0, ptr + n)
+    return new
+
+
+def knn_update(cfg, ssl, q, index) -> Dict[str, Any]:
+    """knn_mem_update (reference :130-139): momentum=1 scatter of the
+    gathered projections at gathered indices."""
+    if not cfg.CONTRASTIVE.KNN_ON or "knn_mem" not in ssl:
+        return ssl
+    new = dict(ssl)
+    q_all = all_gather_cat(jax.lax.stop_gradient(q), BATCH_AXES)
+    ind_all = all_gather_cat(index, BATCH_AXES)
+    new["knn_mem"] = ssl["knn_mem"].at[ind_all].set(
+        q_all.astype(ssl["knn_mem"].dtype)
+    )
+    return new
+
+
+# ---------------------------------------------------------------------------
+# per-algorithm losses. Each: (cfg, model, params, batch_stats, ssl, views,
+# infos, rng) -> (loss, new_batch_stats, new_ssl, stats)
+# views: list of [B, T, H, W, C] clips (NUM_CLIP entries)
+# ---------------------------------------------------------------------------
+
+
+def byol_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
+    """(reference :508-597): symmetric predictor-vs-EMA-key similarity,
+    sim_loss = -(q_hat . k_hat)/T averaged (:243-249)."""
+    assert len(views) >= 2, "BYOL needs 2 clips per video"
+    t = cfg.CONTRASTIVE.T
+    out1, bs1 = _apply_backbone(model, params, batch_stats, views[0], True, rng)
+    proj1, preds1 = _proj_and_preds(out1)
+    assert preds1, "BYOL requires CONTRASTIVE.PREDICTOR_DEPTHS"
+    out2, bs2 = _apply_backbone(model, params, bs1, views[1], True, rng)
+    _, preds2 = _proj_and_preds(out2)
+
+    keys = compute_keys(cfg, model, ssl, views[:2], rng)
+    loss = (
+        -(jnp.sum(preds1[0] * keys[1], axis=-1)).mean() / t
+        + -(jnp.sum(preds2[0] * keys[0], axis=-1)).mean() / t
+    )
+    ssl = knn_update(cfg, ssl, l2_normalize(proj1), infos["item_id"])
+    return loss, bs2, ssl, {"loss_byol": loss}
+
+
+def moco_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
+    """(reference :466-506): q vs EMA keys + queue negatives, CE@0."""
+    t = cfg.CONTRASTIVE.T
+    out, new_bs = _apply_backbone(model, params, batch_stats, views[0], True, rng)
+    proj, _ = _proj_and_preds(out)
+    q = l2_normalize(proj)
+    keys = compute_keys(cfg, model, ssl, views[1:], rng)
+    queue_neg = q @ jax.lax.stop_gradient(ssl["queue_x"]).T  # [B, K]
+    logits_list = []
+    for key in keys:
+        pos = jnp.sum(q * key, axis=-1, keepdims=True)
+        logits_list.append(jnp.concatenate([pos, queue_neg], axis=1))
+    logits = jnp.concatenate(logits_list, axis=0) / t
+    loss = L.contrastive_loss(logits)
+    ssl = dequeue_and_enqueue(ssl, keys)
+    ssl = knn_update(cfg, ssl, q, infos["item_id"])
+    acc = L.top_k_accuracy(logits, jnp.zeros((logits.shape[0],), jnp.int32), 1)
+    return loss, new_bs, ssl, {"loss_nce": loss, "acc_ins": acc}
+
+
+def simclr_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
+    """NT-Xent with cross-replica gathered views (reference :733-800, the
+    exercised `cat_across_gpus` branch; the gather is differentiable like
+    AllGatherWithGradient)."""
+    t = cfg.CONTRASTIVE.T
+    out1, bs1 = _apply_backbone(model, params, batch_stats, views[0], True, rng)
+    proj1, _ = _proj_and_preds(out1)
+    q = l2_normalize(proj1)
+    out2, bs2 = _apply_backbone(model, params, bs1, views[1], True, rng)
+    proj2, _ = _proj_and_preds(out2)
+    q2 = l2_normalize(proj2)
+    if cfg.CONTRASTIVE.SIMCLR_DIST_ON:
+        qg = all_gather_cat(q, BATCH_AXES)
+        qg2 = all_gather_cat(q2, BATCH_AXES)
+    else:
+        qg, qg2 = q, q2
+    out = jnp.concatenate([qg, qg2], axis=0)  # [2B, dim]
+    n = out.shape[0]
+    sim = jnp.exp(out @ out.T / t)
+    mask = 1.0 - jnp.eye(n, dtype=sim.dtype)
+    denom = jnp.sum(sim * mask, axis=-1)
+    pos = jnp.exp(jnp.sum(qg * qg2, axis=-1) / t)
+    pos = jnp.concatenate([pos, pos], axis=0)
+    loss = (-jnp.log(pos / denom)).mean()
+    ssl = knn_update(cfg, ssl, q, infos["item_id"])
+    return loss, bs2, ssl, {"loss_simclr": loss}
+
+
+def sinkhorn(Q: jnp.ndarray, iters: int = 3, distributed: bool = True):
+    """Sinkhorn-Knopp normalization of [B, K] scores (reference
+    sinkhorn/distributed_sinkhorn :875-910). Under SPMD every replica holds
+    its own rows; row sums psum over the batch axes."""
+    Q = Q.T  # [K, B_local]
+    k = Q.shape[0]
+
+    def allsum(x, axis=None):
+        s = jnp.sum(x, axis=axis)
+        if distributed:
+            s = jax.lax.psum(s, BATCH_AXES)
+        return s
+
+    total_b = Q.shape[1] * (world_size(BATCH_AXES) if distributed else 1)
+    Q = Q / allsum(Q)
+    r = jnp.ones((k,), Q.dtype) / k
+    c = jnp.ones((Q.shape[1],), Q.dtype) / total_b
+    for _ in range(iters):
+        row = allsum(Q, axis=1)
+        Q = Q * (r / (row + 1e-12))[:, None]
+        Q = Q * (c / (jnp.sum(Q, axis=0) + 1e-12))[None, :]
+    Q = Q / (jnp.sum(Q, axis=0, keepdims=True) + 1e-12)
+    return Q.T  # [B_local, K]
+
+
+def swav_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
+    """Swapped prediction over prototype assignments (reference
+    :599-731 public-code path): per assign-crop Sinkhorn codes, CE against
+    every other crop's softmax; optional feature queue after epoch 15."""
+    t = cfg.CONTRASTIVE.T
+    eps = 0.05  # swav_eps_sinkhorn (reference :109)
+    n_clips = len(views)
+    embeddings, outputs, new_bs = [], [], batch_stats
+    for v in views:
+        out, new_bs = _apply_backbone(model, params, new_bs, v, True, rng)
+        proj, _ = _proj_and_preds(out)
+        proj = l2_normalize(proj)
+        scores = model.apply(
+            {"params": params, "batch_stats": new_bs},
+            proj,
+            method="prototypes",
+        )
+        embeddings.append(proj)
+        outputs.append(scores)
+
+    epoch_exact = infos.get("epoch_exact", jnp.float32(0.0))
+    use_queue = "queue_swav" in ssl
+    new_ssl = dict(ssl)
+    loss_total = 0.0
+    crops_for_assign = range(min(2, n_clips))
+    for i in crops_for_assign:
+        out_i = jax.lax.stop_gradient(outputs[i])
+        if use_queue:
+            # after warmup, prepend queued features' scores (reference
+            # :641-660); queue participates once it has filled
+            w = model.apply(
+                {"params": params, "batch_stats": new_bs},
+                jax.lax.stop_gradient(new_ssl["queue_swav"][i]),
+                method="prototypes",
+            )
+            started = jnp.logical_or(
+                new_ssl["swav_started"],
+                jnp.any(new_ssl["queue_swav"][i, -1] != 0),
+            )
+            gate = jnp.logical_and(started, epoch_exact >= 15.0)
+            out_ext = jnp.concatenate([jnp.where(gate, w, -1e9), out_i], 0)
+            codes_ext = sinkhorn(jnp.exp(out_ext / eps), 3)
+            codes = codes_ext[-out_i.shape[0]:]
+            # roll queue and insert current embeddings
+            bsz = embeddings[i].shape[0]
+            emb_all = all_gather_cat(
+                jax.lax.stop_gradient(embeddings[i]), BATCH_AXES
+            )
+            q_new = jnp.roll(new_ssl["queue_swav"][i], emb_all.shape[0], axis=0)
+            q_new = q_new.at[: emb_all.shape[0]].set(emb_all)
+            new_ssl["queue_swav"] = new_ssl["queue_swav"].at[i].set(q_new)
+            new_ssl["swav_started"] = started
+        else:
+            codes = sinkhorn(jnp.exp(out_i / eps), 3)
+        codes = jax.lax.stop_gradient(codes)
+        subloss = 0.0
+        for v in range(n_clips):
+            if v == i:
+                continue
+            p = jax.nn.log_softmax(outputs[v] / t, axis=-1)
+            subloss -= jnp.mean(jnp.sum(codes * p, axis=1))
+        loss_total += subloss / (n_clips - 1)
+    loss = loss_total / len(list(crops_for_assign))
+    new_ssl = knn_update(cfg, new_ssl, embeddings[0], infos["item_id"])
+    return loss, new_bs, new_ssl, {"loss_swav": loss}
+
+
+def mem_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
+    """1D memory-bank NCE (reference :395-464 + Memory :949-1060):
+    positives = own bank entry, negatives = QUEUE_LEN random entries;
+    bank updated with momentum at gathered indices."""
+    t = cfg.CONTRASTIVE.T
+    k = cfg.CONTRASTIVE.QUEUE_LEN
+    index = infos["item_id"]
+    out, new_bs = _apply_backbone(model, params, batch_stats, views[0], True, rng)
+    proj, _ = _proj_and_preds(out)
+    q = l2_normalize(proj)
+    b = q.shape[0]
+    length = ssl["memory"].shape[0]
+    clip_ind = jax.random.randint(rng, (b, k + 1), 0, length)
+    clip_ind = clip_ind.at[:, 0].set(index)
+    mem = jax.lax.stop_gradient(ssl["memory"][:, 0])  # duration=1
+    negs = mem[clip_ind]  # [B, K+1, dim]
+    logits = jnp.einsum("nc,nkc->nk", q, negs) / t
+    loss = L.contrastive_loss(logits)
+    # momentum update at gathered indices (reference Memory.update :1036)
+    new_ssl = dict(ssl)
+    q_all = all_gather_cat(jax.lax.stop_gradient(q), BATCH_AXES)
+    ind_all = all_gather_cat(index, BATCH_AXES)
+    m = cfg.CONTRASTIVE.MOMENTUM
+    old = ssl["memory"][ind_all, 0]
+    upd = l2_normalize(old * m + q_all * (1.0 - m))
+    new_ssl["memory"] = ssl["memory"].at[ind_all, 0].set(upd)
+    new_ssl = knn_update(cfg, new_ssl, q, index)
+    return loss, new_bs, new_ssl, {"loss_nce": loss}
+
+
+CONTRASTIVE_LOSSES = {
+    "byol": byol_loss,
+    "moco": moco_loss,
+    "simclr": simclr_loss,
+    "swav": swav_loss,
+    "mem": mem_loss,
+}
+
+
+def eval_knn(ssl, q: jnp.ndarray, knn_k: int = 200):
+    """(reference eval_knn :233-241): top-k similarities vs the kNN bank."""
+    dist = q @ ssl["knn_mem"].T
+    k = min(knn_k, dist.shape[1])
+    yd, yi = jax.lax.top_k(dist, k)
+    return yd, yi

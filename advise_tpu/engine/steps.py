@@ -100,7 +100,12 @@ def make_train_step(cfg, mesh, model, bundle, device_aug: Optional[Callable]):
     Signature: (state, clips_u8, infos, rng, lr) -> (state, stats)
     clips_u8 is the raw loader batch (uint8, ingest geometry), sharded on
     dim 0 over the whole mesh; aug runs on device inside the step.
+
+    ContrastiveModel routes to the SSL step (reference tools/train.py:63-77
+    dispatches on the model class the same way).
     """
+    if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
+        return make_contrastive_train_step(cfg, mesh, model, bundle, device_aug)
     task_loss = TASK_LOSSES[cfg.TASK]
     compute_dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
 
@@ -152,6 +157,74 @@ def make_train_step(cfg, mesh, model, bundle, device_aug: Optional[Callable]):
             P(),  # rng
             P(),  # lr
         ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if cfg.TPU.DONATE else ())
+
+
+def make_contrastive_train_step(
+    cfg, mesh, model, bundle, device_aug: Optional[Callable]
+):
+    """SSL train step: EMA update -> algorithm loss -> psum grads ->
+    optimizer. infos must carry 'item_id'; epoch_exact rides in as a
+    scalar for momentum annealing and the SwAV queue gate (the reference
+    threads it through contrastive_forward, contrastive.py:1119)."""
+    from advise_tpu.engine.contrastive import (
+        CONTRASTIVE_LOSSES,
+        momentum_at,
+        update_ema,
+    )
+
+    algo = CONTRASTIVE_LOSSES[cfg.CONTRASTIVE.TYPE]
+    compute_dtype = (
+        jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    )
+
+    def per_device(state: TrainState, clips_u8, infos, rng, lr, epoch_exact):
+        my = replica_index(BATCH_AXES)
+        rng = jax.random.fold_in(jax.random.fold_in(rng, my), state.step)
+        aug_rng, drop_rng = jax.random.split(rng)
+        clips = device_aug(clips_u8, aug_rng) if device_aug is not None else clips_u8
+        clips = clips.astype(compute_dtype)
+        views = [clips[:, i] for i in range(clips.shape[1])]
+
+        ssl = state.ssl
+        if "ema_params" in ssl:
+            m = momentum_at(cfg, epoch_exact)
+            ssl = update_ema(ssl, state.params, state.batch_stats, m)
+        infos = dict(infos)
+        infos["epoch_exact"] = epoch_exact
+
+        def loss_fn(params):
+            loss, new_bs, new_ssl, stats = algo(
+                cfg, model, params, state.batch_stats, ssl, views, infos,
+                drop_rng,
+            )
+            return loss, (new_bs, new_ssl, stats)
+
+        (loss, (new_bs, new_ssl, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = pmean_tree(grads, BATCH_AXES)
+        stats = pmean_tree(stats, BATCH_AXES)
+        stats["grad_norm"] = global_grad_norm(grads)
+        direction, new_opt = bundle.tx.update(grads, state.opt_state, state.params)
+        new_params = apply_direction(state.params, direction, lr, bundle.lr_scales)
+        new_bs = pmean_tree(new_bs, BATCH_AXES)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+            ssl=new_ssl,
+        )
+        return new_state, stats
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(BATCH_AXES), P(BATCH_AXES), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

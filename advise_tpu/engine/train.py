@@ -38,7 +38,10 @@ TASK_INFO_FIELDS = {
 
 
 def select_infos(cfg, infos: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    fields = TASK_INFO_FIELDS.get(cfg.TASK, ())
+    if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
+        fields = ("item_id",)
+    else:
+        fields = TASK_INFO_FIELDS.get(cfg.TASK, ())
     return {k: infos[k] for k in fields if k in infos}
 
 
@@ -80,6 +83,14 @@ def trainer(cfg, tb_logger=None) -> TrainState:
     # build_tx needs params; rebuild state with the real tx
     bundle = build_tx(cfg, state.params)
     state = state.replace(opt_state=bundle.tx.init(state.params))
+    if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
+        from advise_tpu.engine.contrastive import init_ssl_state
+
+        state = state.replace(
+            ssl=init_ssl_state(
+                cfg, state.params, state.batch_stats, jax.random.fold_in(rng, 7)
+            )
+        )
     logger.info("model %s params: %s", cfg.MODEL.MODEL_NAME, f"{param_count(state.params):,}")
 
     ckpt = CheckpointManager(cfg)
@@ -107,13 +118,16 @@ def trainer(cfg, tb_logger=None) -> TrainState:
                 lr = get_lr_at_epoch(cfg, epoch_exact)
             helper.rt["curr_lr"] = lr
             clips_d, infos_d = device_put_batch(mesh, clips, select_infos(cfg, infos))
-            state, stats = step_fn(
-                state,
-                clips_d,
-                infos_d,
-                jax.random.fold_in(rng, epoch * 100003 + it),
-                jnp.float32(lr),
-            )
+            step_rng = jax.random.fold_in(rng, epoch * 100003 + it)
+            if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
+                state, stats = step_fn(
+                    state, clips_d, infos_d, step_rng, jnp.float32(lr),
+                    jnp.float32(epoch_exact),
+                )
+            else:
+                state, stats = step_fn(
+                    state, clips_d, infos_d, step_rng, jnp.float32(lr)
+                )
             helper.update_stats({k: np.asarray(v) for k, v in stats.items()})
             helper.iter_end(it)
         summary = helper.epoch_end()

@@ -66,3 +66,11 @@ def _build_slowfast(cfg, norm, dtype):
 @register_model("X3D")
 def _build_x3d(cfg, norm, dtype):
     return X3D(cfg=cfg, norm=norm, dtype=dtype)
+
+
+from advise_tpu.models.contrastive import ContrastiveModel  # noqa: E402
+
+
+@register_model("ContrastiveModel")
+def _build_contrastive(cfg, norm, dtype):
+    return ContrastiveModel(cfg=cfg, norm=norm, dtype=dtype)

@@ -24,6 +24,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: XLA-CPU 3D-conv compiles dominate suite time
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.device_count() == 8, (
     f"tests need the 8-device CPU mesh, got {jax.devices()}"
