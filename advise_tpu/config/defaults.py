@@ -255,6 +255,14 @@ _C.AUG.TRAIN_JITTER_MOTION_SHIFT = False
 _C.AUG.RE_PROB = 0.0
 _C.AUG.RE_MODE = "pixel"
 _C.AUG.RE_COUNT = 1
+# Masked-pretrain mask geometry (restored; reference models/masked.py reads
+# cfg.AUG.MASK_RATIO / MASK_TUBE / MASK_FRAMES).
+_C.AUG.MASK_RATIO = 0.75
+_C.AUG.MASK_TUBE = False
+_C.AUG.MASK_FRAMES = False
+# Block-masking geometry for MaskFeat (reference datasets/transform.py
+# MaskingGenerator3D usage).
+_C.AUG.MAX_MASK_PATCHES_PER_BLOCK = None
 
 # -----------------------------------------------------------------------------
 # Data options
@@ -364,6 +372,14 @@ _C.MASK.PRED_HOG_CELL_SZ = 8
 # Masking ratio / block geometry for the pretrain mask generator.
 _C.MASK.MASK_RATIO = 0.75
 _C.MASK.MAX_MASK_PATCHES_PER_BLOCK = None
+
+# -----------------------------------------------------------------------------
+# Mask visualization (restored; reference models/masked.py reads
+# cfg.VIS_MASK.ENABLE)
+# -----------------------------------------------------------------------------
+_C.VIS_MASK = CfgNode()
+
+_C.VIS_MASK.ENABLE = False
 
 # -----------------------------------------------------------------------------
 # Model options

@@ -88,9 +88,35 @@ def action_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=T
     return loss, (mutated.get("batch_stats", batch_stats), stats)
 
 
+def masked_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=True):
+    """Masked prediction (MAE/MaskFeat): weighted masked MSE over the
+    pretrain depths (reference MultipleMSELoss applied to MaskMViT
+    outputs)."""
+    from advise_tpu.models.masked import masked_mse
+
+    b, k = clips.shape[:2]
+    x = clips.reshape(b * k, *clips.shape[2:])
+    variables = {"params": params, "batch_stats": batch_stats}
+    rngs = {"dropout": rng, "mask": jax.random.fold_in(rng, 13)}
+    if train:
+        out, mutated = model.apply(
+            variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+        )
+        new_bs = mutated.get("batch_stats", batch_stats)
+    else:
+        out = model.apply(variables, x, train=False, rngs=rngs)
+        new_bs = batch_stats
+    preds, labels, masks, weights = out
+    loss = 0.0
+    for p, l, m, w in zip(preds, labels, masks, weights):
+        loss = loss + w * masked_mse(p, l, m)
+    return loss, (new_bs, {"loss_mask": loss})
+
+
 TASK_LOSSES: Dict[str, Callable] = {
     "speed": speed_task_loss,
     "action_recog": action_task_loss,
+    "masked": masked_task_loss,
 }
 
 
@@ -106,7 +132,10 @@ def make_train_step(cfg, mesh, model, bundle, device_aug: Optional[Callable]):
     """
     if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
         return make_contrastive_train_step(cfg, mesh, model, bundle, device_aug)
-    task_loss = TASK_LOSSES[cfg.TASK]
+    if cfg.MODEL.MODEL_NAME == "MaskMViT":
+        task_loss = masked_task_loss
+    else:
+        task_loss = TASK_LOSSES[cfg.TASK]
     compute_dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
 
     def per_device(state: TrainState, clips_u8, infos, rng, lr):

@@ -69,6 +69,19 @@ def _build_x3d(cfg, norm, dtype):
 
 
 from advise_tpu.models.contrastive import ContrastiveModel  # noqa: E402
+from advise_tpu.models.mvit import MViT  # noqa: E402
+from advise_tpu.models.masked import MaskMViT  # noqa: E402
+
+
+@register_model("MViT")
+def _build_mvit(cfg, norm, dtype):
+    return MViT(cfg=cfg, norm=norm, dtype=dtype)
+
+
+@register_model("MaskMViT")
+def _build_maskmvit(cfg, norm, dtype):
+    return MaskMViT(cfg=cfg, norm=norm, dtype=dtype)
+
 
 
 @register_model("ContrastiveModel")

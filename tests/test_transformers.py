@@ -1,0 +1,184 @@
+"""MViT / MaskMViT tests: variants forward+grad, schedule math, masking
+invariants, masked-MSE semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advise_tpu.config import assert_and_infer_cfg, get_cfg
+from advise_tpu.models import build_model
+from advise_tpu.models.masked import (
+    masked_mse,
+    normalize_patches,
+    patchify_3d,
+    random_masking,
+)
+from advise_tpu.models.mvit import _pooled_thw, mvit_block_schedule
+
+
+def _mvit_cfg(**over):
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "MViT"
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.MVIT.EMBED_DIM = 24
+    cfg.MVIT.NUM_HEADS = 1
+    cfg.MVIT.DEPTH = 4
+    cfg.MVIT.DIM_MUL = [[1, 2.0], [3, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0], [3, 2.0]]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [3, 1, 2, 2]]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 4, 4]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    for k, v in over.items():
+        parts = k.split(".")
+        node = cfg
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    return cfg
+
+
+def _run(cfg, bs=1):
+    m = build_model(cfg, sync_axes=())
+    x = jnp.zeros((bs, 4, 32, 32, 3), jnp.float32)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "mask": jax.random.PRNGKey(2),
+    }
+    v = jax.jit(lambda: m.init(rngs, x, train=False))()
+    out = jax.jit(lambda v, x: m.apply(
+        v, x, train=False, rngs={"mask": jax.random.PRNGKey(2)}
+    ))(v, x)
+    return m, v, out
+
+
+def test_mvit_v2_forward():
+    cfg = _mvit_cfg(**{
+        "MVIT.REL_POS_SPATIAL": True,
+        "MVIT.REL_POS_TEMPORAL": True,
+        "MVIT.RESIDUAL_POOLING": True,
+        "MVIT.DIM_MUL_IN_ATT": True,
+    })
+    _, v, out = _run(cfg)
+    assert out.shape == (1, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mvit_reversible_forward_and_grad():
+    cfg = _mvit_cfg(**{"MVIT.REV.ENABLE": True, "MVIT.CLS_EMBED_ON": False})
+    m, v, out = _run(cfg)
+    assert out.shape == (1, 4)
+    x = jnp.ones((1, 4, 32, 32, 3), jnp.float32)
+    g = jax.jit(jax.grad(
+        lambda v: m.apply(
+            v, x, train=True, rngs={"dropout": jax.random.PRNGKey(0)}
+        ).sum()
+    ))(v)
+    leaves = jax.tree_util.tree_leaves(g["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_schedule_dim_head_multipliers():
+    cfg = _mvit_cfg()
+    blocks, final = mvit_block_schedule(cfg, (2, 8, 8))
+    assert blocks[0]["dim"] == 24
+    # dim_mul at block 1 -> block 0's dim_out doubles (rounded to head div)
+    assert blocks[1]["dim"] == blocks[0]["dim_out"]
+    assert final == blocks[-1]["dim_out"]
+    # adaptive KV stride decays by Q strides
+    assert blocks[0]["stride_kv"] == [1, 4, 4]
+    # adaptive: the running KV stride divides BEFORE assignment at a
+    # Q-pooling block (reference video_model_builder.py:926-936)
+    assert blocks[1]["stride_kv"] == [1, 2, 2]
+    assert blocks[2]["stride_kv"] == [1, 2, 2]
+    assert blocks[3]["stride_kv"] == [1, 1, 1]
+
+
+def test_pooled_thw_matches_conv_arithmetic():
+    assert _pooled_thw((3, 9, 9), [3, 3, 3], [1, 2, 2]) == (3, 5, 5)
+    assert _pooled_thw((2, 8, 8), [3, 3, 3], [1, 2, 2]) == (2, 4, 4)
+    assert _pooled_thw((2, 8, 8), [], []) == (2, 8, 8)
+
+
+def test_random_masking_invariants():
+    ids_keep, mask, ids_restore = random_masking(
+        jax.random.PRNGKey(0), 4, (2, 4, 4), 0.75
+    )
+    l = 32
+    assert mask.shape == (4, l)
+    # exactly ratio masked
+    np.testing.assert_array_equal(np.asarray(mask.sum(1)), 24.0)
+    # kept ids are unmasked
+    kept_mask = np.take_along_axis(
+        np.asarray(mask), np.asarray(ids_keep), axis=1
+    )
+    assert (kept_mask == 0).all()
+
+
+def test_tube_masking_consistent_across_time():
+    _, mask, _ = random_masking(
+        jax.random.PRNGKey(0), 2, (4, 2, 2), 0.5, tube=True
+    )
+    m = np.asarray(mask).reshape(2, 4, 4)
+    for t in range(1, 4):
+        np.testing.assert_array_equal(m[:, 0], m[:, t])
+
+
+def test_patchify_roundtrip_values():
+    imgs = jnp.arange(2 * 4 * 8 * 8 * 3, dtype=jnp.float32).reshape(
+        2, 4, 8, 8, 3
+    )
+    patches = patchify_3d(imgs, p=4, u=2)
+    assert patches.shape == (2, 2 * 2 * 2, 2 * 4 * 4 * 3)
+    # first patch contains the image's top-left 4x4 of frames 0-1
+    expect = imgs[:, 0:2, 0:4, 0:4].reshape(2, -1)
+    np.testing.assert_array_equal(np.asarray(patches[:, 0]), np.asarray(expect))
+
+
+def test_masked_mse_only_counts_masked():
+    pred = jnp.zeros((1, 4, 2))
+    label = jnp.ones((1, 4, 2))
+    mask = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    assert float(masked_mse(pred, label, mask)) == 1.0
+    # unmasked errors don't contribute
+    pred2 = pred.at[0, 1].set(100.0)
+    assert float(masked_mse(pred2, label, mask)) == 1.0
+
+
+@pytest.mark.parametrize("variant", ["maskfeat_pixel", "maskfeat_hog", "mae"])
+def test_maskmvit_variants(variant):
+    cfg = _mvit_cfg()
+    cfg.MODEL.MODEL_NAME = "MaskMViT"
+    cfg.MASK.ENABLE = True
+    cfg.MASK.PRETRAIN_DEPTH = [3]
+    cfg.AUG.MASK_RATIO = 0.5
+    if variant == "mae":
+        cfg.MASK.MAE_ON = True
+        cfg.MVIT.CLS_EMBED_ON = False
+        cfg.MVIT.POOL_Q_STRIDE = []  # MAE: no Q pooling
+        cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = None
+        cfg.MASK.DECODER_DEPTH = 1
+        cfg.MASK.DECODER_EMBED_DIM = 32
+    elif variant == "maskfeat_hog":
+        cfg.MASK.PRED_HOG = True
+        cfg.MASK.PRED_HOG_CELL_SZ = 4
+        cfg.MVIT.POOL_Q_STRIDE = []
+        cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = None
+    else:
+        cfg.MVIT.POOL_Q_STRIDE = []
+        cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = None
+    m, v, out = _run(cfg)
+    preds, labels, masks, weights = out
+    assert len(preds) == len(labels) == len(masks) == 1
+    assert preds[0].shape[-1] == labels[0].shape[-1] or cfg.MASK.MAE_ON
+    loss = sum(
+        w * masked_mse(p, l, mk)
+        for p, l, mk, w in zip(preds, labels, masks, weights)
+    )
+    assert np.isfinite(float(loss))
