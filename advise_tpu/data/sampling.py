@@ -186,6 +186,12 @@ class TemporalModelingSampler:
         infos["starts"] = np.asarray(starts, np.int64)
         infos["stamps"] = np.stack(all_stamps)
         infos["speeds"] = np.asarray(speeds, np.int64)
+        # label = index into speed_range (the reference remaps {1,2,4,8} ->
+        # {0..3} at train time, tools/train.py:129; we emit indices directly)
+        range_abs = [abs(s) for s in self.speed_range]
+        infos["spd_label"] = np.asarray(
+            [range_abs.index(s) for s in speeds], np.int64
+        )
         return np.stack(all_stamps), infos
 
 

@@ -132,6 +132,8 @@ def make_train_step(cfg, mesh, model, bundle, device_aug: Optional[Callable]):
     """
     if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
         return make_contrastive_train_step(cfg, mesh, model, bundle, device_aug)
+    if cfg.MODEL.MODEL_NAME == "TemporalModel":
+        return make_tmodeling_train_step(cfg, mesh, model, bundle, device_aug)
     if cfg.MODEL.MODEL_NAME == "MaskMViT":
         task_loss = masked_task_loss
     else:
@@ -254,6 +256,145 @@ def make_contrastive_train_step(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(BATCH_AXES), P(BATCH_AXES), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if cfg.TPU.DONATE else ())
+
+
+def init_tmodeling_ssl(cfg, params) -> Dict[str, Any]:
+    """EMA twins for the AdViSe BYOL branch (reference
+    temporal_modeling.py:217-238): temporal encoder + projector copies."""
+    if "byol" not in cfg.SSL.TASK:
+        return {}
+    return {
+        "ema_temporal": jax.tree_util.tree_map(
+            jnp.copy, params["temporal_encoder"]
+        ),
+        "ema_projector": jax.tree_util.tree_map(
+            jnp.copy, params["head_projector"]
+        ),
+    }
+
+
+def make_tmodeling_train_step(cfg, mesh, model, bundle, device_aug):
+    """AdViSe step: frozen-CLIP features -> temporal head; speed CE and/or
+    BYOL contrast against EMA twins (reference tools/train.py:79-88 +
+    temporal_modeling.py forward :377-392; the +1/T loss offset kept)."""
+    from advise_tpu.engine.contrastive import l2_normalize
+
+    compute_dtype = (
+        jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    )
+    use_byol = "byol" in cfg.SSL.TASK
+    use_speed = "speed" in cfg.SSL.TASK or "action" in cfg.SSL.TASK
+    t_temp = cfg.CONTRASTIVE.T
+    m = cfg.CONTRASTIVE.MOMENTUM
+
+    def per_device(state: TrainState, clips_u8, infos, rng, lr):
+        my = replica_index(BATCH_AXES)
+        rng = jax.random.fold_in(jax.random.fold_in(rng, my), state.step)
+        aug_rng, drop_rng = jax.random.split(rng)
+        clips = device_aug(clips_u8, aug_rng) if device_aug is not None else clips_u8
+        clips = clips.astype(compute_dtype)
+        b, k = clips.shape[:2]
+
+        ssl = state.ssl
+        if use_byol:
+            ssl = dict(ssl)
+            ssl["ema_temporal"] = jax.tree_util.tree_map(
+                lambda h, p: h * m + p * (1.0 - m),
+                ssl["ema_temporal"],
+                state.params["temporal_encoder"],
+            )
+            ssl["ema_projector"] = jax.tree_util.tree_map(
+                lambda h, p: h * m + p * (1.0 - m),
+                ssl["ema_projector"],
+                state.params["head_projector"],
+            )
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            flat = clips.reshape(b * k, *clips.shape[2:])
+            feats, mutated = model.apply(
+                variables, flat, train=True,
+                method="features",
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_rng},
+            )
+            new_bs = mutated.get("batch_stats", state.batch_stats)
+            loss = 0.0
+            stats = {}
+            if use_speed:
+                logits = model.apply(
+                    {"params": params, "batch_stats": new_bs},
+                    feats, train=True, method="classify",
+                    rngs={"dropout": drop_rng},
+                )
+                labels = infos["spd_label"].reshape(b * k)
+                loss_spd = L.cross_entropy(logits, labels)
+                loss = loss + loss_spd
+                stats["loss_spd"] = loss_spd
+                stats["acc_spd"] = L.top_k_accuracy(logits, labels, 1)
+            if use_byol:
+                assert k >= 2, "BYOL tmodeling needs 2 clips"
+                # keys: same features with EMA temporal encoder, no grad
+                params_ema = dict(params)
+                params_ema["temporal_encoder"] = ssl["ema_temporal"]
+                keys = model.apply(
+                    {"params": params_ema, "batch_stats": state.batch_stats},
+                    jax.lax.stop_gradient(clips.reshape(b * k, *clips.shape[2:])),
+                    train=False, method="features",
+                )
+                keys = jax.lax.stop_gradient(keys.reshape(b, k, -1))
+                feats_bk = feats.reshape(b, k, -1)
+                params_ema_p = dict(params)
+                params_ema_p["head_projector"] = ssl["ema_projector"]
+                loss_byol = 0.0
+                for i in range(2):
+                    q = model.apply(
+                        {"params": params, "batch_stats": new_bs},
+                        feats_bk[:, i], train=True, method="project",
+                        rngs={"dropout": drop_rng},
+                    )
+                    q = model.apply(
+                        {"params": params, "batch_stats": new_bs},
+                        q, train=True, method="predict",
+                        rngs={"dropout": drop_rng},
+                    )
+                    k_feat = model.apply(
+                        {"params": params_ema_p, "batch_stats": state.batch_stats},
+                        keys[:, 1 - i], train=False, method="project",
+                    )
+                    q = l2_normalize(q)
+                    k_feat = l2_normalize(jax.lax.stop_gradient(k_feat))
+                    loss_byol += -(jnp.sum(q * k_feat, axis=-1) / t_temp).mean()
+                loss_byol = loss_byol / 2.0 + 1.0 / t_temp
+                loss = loss + loss_byol
+                stats["loss_byol"] = loss_byol
+            return loss, (new_bs, stats)
+
+        (loss, (new_bs, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = pmean_tree(grads, BATCH_AXES)
+        stats = pmean_tree(stats, BATCH_AXES)
+        stats["grad_norm"] = global_grad_norm(grads)
+        direction, new_opt = bundle.tx.update(grads, state.opt_state, state.params)
+        new_params = apply_direction(state.params, direction, lr, bundle.lr_scales)
+        new_bs = pmean_tree(new_bs, BATCH_AXES)
+        return state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+            ssl=ssl,
+        ), stats
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(BATCH_AXES), P(BATCH_AXES), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -49,11 +49,16 @@ def build_train_state(cfg, model_init, tx, rng) -> TrainState:
     t = cfg.DATA.NUM_FRAMES
     s = cfg.AUG.TARGET_SIZE
     sample = jnp.zeros((1, t, s, s, 3), jnp.float32)
+    init_kwargs = {}
+    if cfg.MODEL.MODEL_NAME == "TemporalModel":
+        # touch BYOL heads too so the full param tree materializes
+        init_kwargs["method"] = "init_all"
     variables = jax.jit(
         lambda: model_init.init(
             {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
             sample,
             train=False,
+            **init_kwargs,
         )
     )()
     params = variables["params"]
@@ -91,6 +96,10 @@ def trainer(cfg, tb_logger=None) -> TrainState:
                 cfg, state.params, state.batch_stats, jax.random.fold_in(rng, 7)
             )
         )
+    elif cfg.MODEL.MODEL_NAME == "TemporalModel":
+        from advise_tpu.engine.steps import init_tmodeling_ssl
+
+        state = state.replace(ssl=init_tmodeling_ssl(cfg, state.params))
     logger.info("model %s params: %s", cfg.MODEL.MODEL_NAME, f"{param_count(state.params):,}")
 
     ckpt = CheckpointManager(cfg)

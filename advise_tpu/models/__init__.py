@@ -83,6 +83,20 @@ def _build_maskmvit(cfg, norm, dtype):
     return MaskMViT(cfg=cfg, norm=norm, dtype=dtype)
 
 
+from advise_tpu.models.swin3d import SwinTransformer3D  # noqa: E402
+from advise_tpu.models.temporal_model import TemporalModel  # noqa: E402
+
+
+@register_model("SwinTransformer3D")
+def _build_swin3d(cfg, norm, dtype):
+    return SwinTransformer3D(cfg=cfg, norm=norm, dtype=dtype)
+
+
+@register_model("TemporalModel")
+def _build_temporal(cfg, norm, dtype):
+    return TemporalModel(cfg=cfg, norm=norm, dtype=dtype)
+
+
 
 @register_model("ContrastiveModel")
 def _build_contrastive(cfg, norm, dtype):

@@ -52,11 +52,18 @@ def _path_str(path) -> str:
 
 
 def classify_params(cfg, params) -> Any:
-    """Label tree: 'bn' | 'no_decay' | 'one_d' | 'default'
-    (reference models/optimizer.py:30-120 param grouping)."""
+    """Label tree: 'frozen' | 'bn' | 'no_decay' | 'one_d' | 'default'
+    (reference models/optimizer.py:30-120 param grouping). Frozen covers:
+    the CLIP spatial encoder unless TM.FROM_SCRATCH (reference
+    temporal_modeling.py:155-158), and everything but the head under
+    LINEAR_PROBING (reference tools/train.py:305-312)."""
 
     def label(path, p):
         s = _path_str(path).lower()
+        if "spatial_encoder" in s and not cfg.TM.FROM_SCRATCH:
+            return "frozen"
+        if cfg.LINEAR_PROBING and "head" not in s:
+            return "frozen"
         if "/bn" in s or s.endswith("bn/scale") or s.endswith("bn/bias") or "_bn/" in s:
             return "bn"
         if any(pat in s for pat in _NO_DECAY_PATTERNS):
@@ -76,6 +83,7 @@ def wd_tree(cfg, params) -> Any:
         "bn": cfg.BN.WEIGHT_DECAY,
         "no_decay": 0.0,
         "one_d": 0.0,
+        "frozen": 0.0,
     }
     return jax.tree_util.tree_map(lambda l: wd_map[l], labels)
 
@@ -86,8 +94,7 @@ def layer_decay_scales(cfg, params) -> Any:
     by transformer block index parsed from the path; non-block params get
     the strongest decay (embedding side) or 1.0 (head)."""
     decay = cfg.SOLVER.LAYER_DECAY
-    if decay == 1.0:
-        return jax.tree_util.tree_map(lambda p: 1.0, params)
+    labels = classify_params(cfg, params)
     depth = cfg.MVIT.DEPTH
 
     def scale(path, p):
@@ -99,9 +106,13 @@ def layer_decay_scales(cfg, params) -> Any:
             i = depth + 1
         else:
             i = 0  # patch embed / pos embed
-        return decay ** (depth + 1 - i)
+        return decay ** (depth + 1 - i) if decay != 1.0 else 1.0
 
-    return jax.tree_util.tree_map_with_path(scale, params)
+    scales = jax.tree_util.tree_map_with_path(scale, params)
+    # frozen params receive zero updates (lr scale 0)
+    return jax.tree_util.tree_map(
+        lambda sc, lb: 0.0 if lb == "frozen" else sc, scales, labels
+    )
 
 
 class OptimizerBundle(NamedTuple):
