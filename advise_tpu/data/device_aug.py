@@ -324,6 +324,120 @@ def make_infer_aug(cfg):
     return apply
 
 
+def make_aa_aug(cfg):
+    """AUG.TYPE='aa': RandomResizedCrop -> RandAugment -> Normalize
+    (-> RandomErasing when AUG.RE_PROB > 0)
+    (reference datasets/__init__.py:55-68 + rand_augment.py)."""
+    from advise_tpu.data.erasing import random_erasing_clip
+    from advise_tpu.data.rand_augment import make_rand_augment
+
+    size = int(cfg.AUG.TARGET_SIZE)
+    scale = (cfg.AUG.MIN_AREA, cfg.AUG.MAX_AREA)
+    ratio = tuple(cfg.AUG.RAND_CROP_RATIO)
+    mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+    ra = make_rand_augment(cfg.AUG.AA_TYPE)
+    re_prob = cfg.AUG.RE_PROB
+
+    def one_clip(clip_u8, key):
+        k_box, k_ra, k_flip, k_re = jax.random.split(key, 4)
+        t, h, w, c = clip_u8.shape
+        clip = clip_u8.astype(jnp.float32)
+        box = sample_rrc_box(k_box, h, w, scale, ratio)
+        clip = jnp.clip(resized_crop_clip(clip, box, (size, size)), 0, 255)
+        clip = ra(clip, k_ra)
+        if cfg.AUG.RANDOM_FLIP:
+            clip = hflip_clip(clip, k_flip)
+        if re_prob > 0:
+            clip = random_erasing_clip(
+                clip, k_re, probability=re_prob, mode=cfg.AUG.RE_MODE,
+                count=cfg.AUG.RE_COUNT,
+            )
+        return normalize(clip, mean, std)
+
+    def apply(batch_u8, key):
+        bsz, k = batch_u8.shape[:2]
+        flat = batch_u8.reshape(bsz * k, *batch_u8.shape[2:])
+        keys = jax.random.split(key, bsz * k)
+        out = _per_clip(one_clip)(flat, keys)
+        return out.reshape(bsz, k, *out.shape[1:])
+
+    return apply
+
+
+def make_clip_aug(cfg):
+    """AUG.TYPE='clip_aug': ClipRandomResizedCrop with camera dynamics
+    (reference datasets/__init__.py:37-50)."""
+    from advise_tpu.data.erasing import clip_random_resized_crop
+
+    size = int(cfg.AUG.TARGET_SIZE)
+    mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+
+    def one_clip(clip_u8, key):
+        clip = clip_random_resized_crop(
+            clip_u8.astype(jnp.float32),
+            key,
+            size=size,
+            scale=(cfg.AUG.MIN_AREA, 1.0),
+            ratio=tuple(cfg.AUG.RAND_CROP_RATIO),
+            jitter=cfg.AUG.CAMERA_SHAKE,
+            shift=cfg.AUG.CAMERA_SHIFT,
+            zoom=cfg.AUG.ZOOM,
+            brightness=cfg.AUG.COLOR_BRI,
+            saturation=cfg.AUG.COLOR_SAT,
+            white_balance=cfg.AUG.WHITE_BALANCE,
+        )
+        return normalize(clip, mean, std)
+
+    def apply(batch_u8, key):
+        bsz, k = batch_u8.shape[:2]
+        flat = batch_u8.reshape(bsz * k, *batch_u8.shape[2:])
+        keys = jax.random.split(key, bsz * k)
+        out = _per_clip(one_clip)(flat, keys)
+        return out.reshape(bsz, k, *out.shape[1:])
+
+    return apply
+
+
+def make_rbyol_aug(cfg):
+    """AUG.TYPE='rbyol': the MoCo-v2/BYOL stack — RRC, strong color jitter,
+    grayscale, gaussian blur, flip (reference datasets/__init__.py:70-76 +
+    transform.py color_jitter_video_ssl / GaussianBlurVideo)."""
+    from advise_tpu.data.erasing import gaussian_blur_clip
+
+    size = int(cfg.AUG.TARGET_SIZE)
+    mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+    p, b, c, s, h = cfg.AUG.COLOR
+
+    def one_clip(clip_u8, key):
+        k_box, k_col, k_gray, k_blur, k_bp, k_flip = jax.random.split(key, 6)
+        t, hh, ww, _ = clip_u8.shape
+        clip = clip_u8.astype(jnp.float32)
+        box = sample_rrc_box(
+            k_box, hh, ww, (cfg.AUG.MIN_AREA, 1.0), tuple(cfg.AUG.RAND_CROP_RATIO)
+        )
+        clip = jnp.clip(resized_crop_clip(clip, box, (size, size)), 0, 255)
+        clip = color_jitter_clip(clip, k_col, p, b, c, s, h)
+        clip = grayscale_clip(clip, k_gray, cfg.AUG.GRAYSCALE)
+        blurred = gaussian_blur_clip(
+            clip, k_blur,
+            sigma_min=tuple(cfg.AUG.SSL_BLUR_SIGMA_MIN),
+            sigma_max=tuple(cfg.AUG.SSL_BLUR_SIGMA_MAX),
+        )
+        clip = jnp.where(jax.random.uniform(k_bp, ()) < 0.5, blurred, clip)
+        if cfg.AUG.RANDOM_FLIP:
+            clip = hflip_clip(clip, k_flip)
+        return normalize(clip, mean, std)
+
+    def apply(batch_u8, key):
+        bsz, k = batch_u8.shape[:2]
+        flat = batch_u8.reshape(bsz * k, *batch_u8.shape[2:])
+        keys = jax.random.split(key, bsz * k)
+        out = _per_clip(one_clip)(flat, keys)
+        return out.reshape(bsz, k, *out.shape[1:])
+
+    return apply
+
+
 def build_device_aug(cfg, mode: str = "train"):
     """Dispatch matching reference build_aug (datasets/__init__.py:16-103)."""
     if mode == "train":
@@ -332,9 +446,11 @@ def build_device_aug(cfg, mode: str = "train"):
         if cfg.AUG.TYPE == "OnlyCrop":
             return make_rrc_aug(cfg, scale=(cfg.AUG.MIN_AREA, 1.0))
         if cfg.AUG.TYPE == "aa":
-            # RandAugment core lands with the transformer models; base RRC
-            # path works today.
-            return make_rrc_aug(cfg, scale=(cfg.AUG.MIN_AREA, cfg.AUG.MAX_AREA))
+            return make_aa_aug(cfg)
+        if cfg.AUG.TYPE == "clip_aug":
+            return make_clip_aug(cfg)
+        if cfg.AUG.TYPE == "rbyol":
+            return make_rbyol_aug(cfg)
         if cfg.AUG.TYPE == "none":
             mean, std = cfg.DATA.MEAN, cfg.DATA.STD
 

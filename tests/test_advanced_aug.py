@@ -1,0 +1,171 @@
+"""RandAugment / RandomErasing / blur / camera-dynamics aug tests, with PIL
+golden parity for the geometric and histogram ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image, ImageOps
+
+from advise_tpu.config import get_cfg
+from advise_tpu.data import build_device_aug
+from advise_tpu.data import rand_augment as ra
+from advise_tpu.data.erasing import (
+    clip_random_resized_crop,
+    gaussian_blur_clip,
+    random_erasing_clip,
+)
+from advise_tpu.data.masking import MaskingGenerator, MaskingGenerator3D
+
+
+@pytest.fixture(scope="module")
+def frame():
+    return np.random.default_rng(0).integers(0, 256, (32, 40, 3), np.uint8)
+
+
+def _ours(fn, frame, *args):
+    return np.asarray(fn(jnp.asarray(frame, jnp.float32)[None], *args))[0]
+
+
+def test_invert_matches_pil(frame):
+    pil = np.asarray(ImageOps.invert(Image.fromarray(frame)))
+    ours = _ours(ra.invert, frame)
+    np.testing.assert_allclose(ours, pil.astype(np.float32), atol=1.0)
+
+
+def test_autocontrast_matches_pil(frame):
+    pil = np.asarray(ImageOps.autocontrast(Image.fromarray(frame)))
+    ours = _ours(ra.autocontrast, frame)
+    assert np.abs(ours - pil.astype(np.float32)).max() <= 1.0
+
+
+def test_equalize_matches_pil(frame):
+    pil = np.asarray(ImageOps.equalize(Image.fromarray(frame)))
+    ours = _ours(ra.equalize, frame)
+    assert np.abs(ours - pil.astype(np.float32)).max() <= 1.0
+
+
+def test_posterize_matches_pil(frame):
+    for bits in (1, 2, 4, 7):
+        pil = np.asarray(ImageOps.posterize(Image.fromarray(frame), bits))
+        ours = _ours(ra.posterize, frame, jnp.float32(bits))
+        np.testing.assert_array_equal(ours, pil.astype(np.float32))
+
+
+def test_solarize_matches_pil(frame):
+    for th in (64, 128, 200):
+        pil = np.asarray(ImageOps.solarize(Image.fromarray(frame), th))
+        ours = _ours(ra.solarize, frame, float(th))
+        np.testing.assert_array_equal(ours, pil.astype(np.float32))
+
+
+def test_rotate_matches_pil(frame):
+    pil = np.asarray(
+        Image.fromarray(frame).rotate(
+            -17.0, resample=Image.BILINEAR, fillcolor=(128, 128, 128)
+        )
+    )
+    ours = _ours(ra.rotate, frame, jnp.float32(17.0))
+    # bilinear edge/fill blending differs at rotation boundaries (PIL
+    # blends partially-covered border pixels with fillcolor)
+    close = np.abs(ours - pil.astype(np.float32)) <= 2.0
+    assert close.mean() > 0.95
+
+
+def test_translate_shifts_content(frame):
+    ours = _ours(ra.translate_x, frame, jnp.float32(0.25))
+    shift = int(0.25 * frame.shape[1])
+    np.testing.assert_allclose(
+        ours[:, : frame.shape[1] - shift],
+        frame.astype(np.float32)[:, shift:],
+        atol=1.0,
+    )
+    assert (ours[:, -shift:] == 128.0).all()
+
+
+def test_sharpness_identity_at_factor_one(frame):
+    ours = _ours(ra.sharpness, frame, jnp.float32(1.0))
+    np.testing.assert_allclose(ours, frame.astype(np.float32), atol=1.0)
+
+
+def test_rand_augment_pipeline_runs(frame):
+    apply = ra.make_rand_augment("rand-m7-n4-mstd0.5-inc1")
+    clip = jnp.asarray(np.stack([frame] * 4), jnp.float32)
+    out = jax.jit(apply)(clip, jax.random.PRNGKey(0))
+    assert out.shape == clip.shape
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and o.min() >= 0 and o.max() <= 255
+    # different keys -> different policies
+    out2 = jax.jit(apply)(clip, jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_random_erasing_region_and_prob(frame):
+    clip = jnp.asarray(np.stack([frame] * 2), jnp.float32)
+    out = np.asarray(
+        random_erasing_clip(clip, jax.random.PRNGKey(0), probability=1.1)
+    )
+    changed = (out != np.asarray(clip)).any(axis=-1)
+    assert changed.any()
+    # cube mode: same region across frames
+    np.testing.assert_array_equal(changed[0], changed[1])
+    # probability 0 -> no-op
+    out0 = np.asarray(
+        random_erasing_clip(clip, jax.random.PRNGKey(0), probability=-1.0)
+    )
+    np.testing.assert_array_equal(out0, np.asarray(clip))
+
+
+def test_gaussian_blur_smooths(frame):
+    clip = jnp.asarray(np.stack([frame] * 2), jnp.float32)
+    out = np.asarray(gaussian_blur_clip(clip, jax.random.PRNGKey(0)))
+    assert out.shape == clip.shape
+    # variance reduced by smoothing
+    assert out[0].std() < frame.astype(np.float32).std()
+
+
+def test_clip_random_resized_crop_dynamics(frame):
+    clip = jnp.asarray(np.stack([frame] * 6), jnp.float32)
+    out = clip_random_resized_crop(
+        clip, jax.random.PRNGKey(0), size=24,
+        scale=(0.4, 0.9), jitter=0.05, shift=0.2, zoom=0.2,
+        brightness=0.2, saturation=0.2, white_balance=0.1,
+    )
+    o = np.asarray(out)
+    assert o.shape == (6, 24, 24, 3)
+    # camera motion: identical source frames produce different crops per t
+    assert not np.allclose(o[0], o[-1])
+
+
+def test_aa_device_aug_end_to_end():
+    cfg = get_cfg()
+    cfg.AUG.TYPE = "aa"
+    cfg.AUG.TARGET_SIZE = 32
+    cfg.AUG.AA_TYPE = "rand-m7-n2-mstd0.5-inc1"
+    cfg.AUG.RE_PROB = 0.25
+    aug = build_device_aug(cfg, "train")
+    batch = np.random.default_rng(0).integers(0, 256, (2, 2, 4, 40, 48, 3), np.uint8)
+    out = jax.jit(aug)(jnp.asarray(batch), jax.random.PRNGKey(0))
+    assert out.shape == (2, 2, 4, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_rbyol_device_aug():
+    cfg = get_cfg()
+    cfg.AUG.TYPE = "rbyol"
+    cfg.AUG.TARGET_SIZE = 32
+    aug = build_device_aug(cfg, "train")
+    batch = np.random.default_rng(0).integers(0, 256, (1, 2, 4, 40, 48, 3), np.uint8)
+    out = jax.jit(aug)(jnp.asarray(batch), jax.random.PRNGKey(0))
+    assert out.shape == (1, 2, 4, 32, 32, 3)
+
+
+def test_masking_generators():
+    gen = MaskingGenerator((8, 8), num_masking_patches=20)
+    m = gen(np.random.default_rng(0))
+    assert m.shape == (8, 8)
+    assert 0 < m.sum() <= 24
+    gen3 = MaskingGenerator3D((2, 8, 8), num_masking_patches=40)
+    m3 = gen3(np.random.default_rng(0))
+    assert m3.shape == (2, 8, 8)
+    assert m3.sum() > 0
