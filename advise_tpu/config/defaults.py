@@ -66,6 +66,18 @@ _C.TPU.DONATE = True
 # Use jax.checkpoint (rematerialization) on residual stages.
 _C.TPU.REMAT = False
 
+# Use the Pallas fused-aug kernel for AUG.TYPE='simple' (crop+color+
+# normalize in one VMEM pass, crop-window-only HBM reads) instead of the
+# XLA lowering.
+_C.TPU.PALLAS_AUG = False
+
+# When set, capture a jax.profiler trace of training steps
+# [PROFILE_START, PROFILE_START + PROFILE_STEPS) into this directory
+# (the SURVEY §5 tracing subsystem; view with TensorBoard or Perfetto).
+_C.TPU.PROFILE_DIR = ""
+_C.TPU.PROFILE_START = 10
+_C.TPU.PROFILE_STEPS = 5
+
 # -----------------------------------------------------------------------------
 # TModeling options
 # -----------------------------------------------------------------------------
@@ -251,6 +263,11 @@ _C.AUG.SSL_BLUR_SIGMA_MAX = [0.0, 2.0]
 _C.AUG.RANDOM_FLIP = True
 _C.AUG.INV_UNIFORM_SAMPLE = False
 _C.AUG.TRAIN_JITTER_MOTION_SHIFT = False
+# The reference's hue jitter is a silent no-op (uint8 truncation bug,
+# augmentation.py:50-52 / SURVEY.md §8). True (default) reproduces that —
+# and is 3x faster on TPU (skips the HSV roundtrip). False enables a real
+# hue rotation at COLOR[4] strength.
+_C.AUG.REFERENCE_EXACT_HUE = True
 # Random erasing (timm semantics; reference datasets/random_erasing.py).
 _C.AUG.RE_PROB = 0.0
 _C.AUG.RE_MODE = "pixel"

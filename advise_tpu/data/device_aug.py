@@ -108,7 +108,11 @@ def adjust_hue(clip, shift_u8):
 
 def color_jitter_clip(clip, key, p, b, c, s, h):
     """RandomColorJitter on one clip (reference augmentation.py:24-56):
-    one factor set + one op order per clip, applied with probability p."""
+    one factor set + one op order per clip, applied with probability p.
+
+    When h == 0 the hue branch compiles to identity — and note the
+    reference's hue op is ALWAYS effectively identity (uint8 truncation
+    bug, SURVEY.md §8); set COLOR[4]=0 for reference-exact + faster aug."""
     k_apply, k_b, k_c, k_s, k_h, k_perm = jax.random.split(key, 6)
     bf = jax.random.uniform(k_b, (), minval=max(0.0, 1.0 - b), maxval=1.0 + b)
     cf = jax.random.uniform(k_c, (), minval=max(0.0, 1.0 - c), maxval=1.0 + c)
@@ -116,11 +120,14 @@ def color_jitter_clip(clip, key, p, b, c, s, h):
     hf = jax.random.uniform(k_h, (), minval=-h, maxval=h)
     order = jax.random.permutation(k_perm, 4)
 
+    hue_branch = (
+        (lambda x: x) if h == 0.0 else (lambda x: adjust_hue(x, hf))
+    )
     branches = [
         lambda x: adjust_brightness(x, bf),
         lambda x: adjust_contrast(x, cf),
         lambda x: adjust_saturation(x, sf),
-        lambda x: adjust_hue(x, hf),
+        hue_branch,
     ]
 
     def body(i, x):
@@ -251,10 +258,29 @@ def _per_clip(fn):
 def make_simple_train_aug(cfg):
     """AUG.TYPE='simple': fixed Resize (done at ingest) -> RandomCrop ->
     RandomColorJitter -> Normalize (reference datasets/__init__.py:18-26).
-    Input u8 [B,K,T,H,W,C] at ingest geometry; output float32 target-size."""
+    Input u8 [B,K,T,H,W,C] at ingest geometry; output float32 target-size.
+
+    With TPU.PALLAS_AUG the chain runs as one Pallas kernel (crop-window-
+    only HBM reads, single VMEM residency)."""
     size = int(cfg.AUG.TARGET_SIZE)
     p, b, c, s, h = cfg.AUG.COLOR
+    if cfg.AUG.REFERENCE_EXACT_HUE:
+        h = 0.0  # reference hue is a no-op; identity branch is 3x faster
     mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+
+    if cfg.TPU.PALLAS_AUG:
+        from advise_tpu.ops.pallas.fused_aug import fused_simple_aug
+
+        def apply_pallas(batch_u8, key):
+            bsz, k = batch_u8.shape[:2]
+            flat = batch_u8.reshape(bsz * k, *batch_u8.shape[2:])
+            out = fused_simple_aug(
+                flat, key, size, color=tuple(cfg.AUG.COLOR),
+                mean=tuple(mean), std=tuple(std),
+            )
+            return out.reshape(bsz, k, *out.shape[1:])
+
+        return apply_pallas
 
     def one_clip(clip_u8, key):
         k_crop, k_col = jax.random.split(key)

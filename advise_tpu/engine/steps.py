@@ -150,15 +150,53 @@ def make_train_step(cfg, mesh, model, bundle, device_aug: Optional[Callable]):
             clips = clips_u8
         clips = clips.astype(compute_dtype)
 
-        def loss_fn(params):
-            return task_loss(
-                cfg, model, params, state.batch_stats, clips, infos, drop_rng,
-                train=True,
-            )
+        if cfg.TRAIN.SEQUENTIAL and clips.shape[1] > 1:
+            # sequential clip micro-batching (reference TRAIN.SEQUENTIAL,
+            # tools/train.py:32-50): process one clip at a time under
+            # lax.scan — peak activation memory of a single clip, grads
+            # averaged over clips. The TPU memory-axis substitute for the
+            # reference's per-sub-batch backward calls.
+            k = clips.shape[1]
+            kv = {key: jnp.swapaxes(v, 0, 1) for key, v in infos.items()
+                  if hasattr(v, "ndim") and v.ndim >= 2}
 
-        (loss, (new_bs, stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            def scan_body(carry, xs):
+                grads_acc, loss_acc, bs = carry
+                clip_i, infos_i = xs
+
+                def loss_fn(params):
+                    return task_loss(
+                        cfg, model, params, bs, clip_i[:, None],
+                        {**infos, **{key: v[:, None] for key, v in infos_i.items()}},
+                        drop_rng, train=True,
+                    )
+
+                (l, (new_bs_i, st)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+                return (grads_acc, loss_acc + l, new_bs_i), st
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (grads, loss, new_bs), stats_seq = jax.lax.scan(
+                scan_body,
+                (zero_grads, jnp.float32(0.0), state.batch_stats),
+                (jnp.swapaxes(clips, 0, 1), kv),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / k, grads)
+            stats = jax.tree_util.tree_map(lambda v: v.mean(), stats_seq)
+        else:
+            def loss_fn(params):
+                return task_loss(
+                    cfg, model, params, state.batch_stats, clips, infos,
+                    drop_rng, train=True,
+                )
+
+            (loss, (new_bs, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
         grads = pmean_tree(grads, BATCH_AXES)
         stats = pmean_tree(stats, BATCH_AXES)
         stats["grad_norm"] = global_grad_norm(grads)

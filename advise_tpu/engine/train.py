@@ -139,12 +139,36 @@ def trainer(cfg, tb_logger=None) -> TrainState:
                 )
             helper.update_stats({k: np.asarray(v) for k, v in stats.items()})
             helper.iter_end(it)
+            _maybe_profile(cfg, int(state.step))
         summary = helper.epoch_end()
         if plateau is not None:
             crit = summary.get("loss_spd", summary.get("loss_cls", 0.0))
             plateau.step(crit)
         ckpt.save(state, epoch, summary)
     return state
+
+
+_PROFILE_ACTIVE = [False]
+
+
+def _maybe_profile(cfg, step: int):
+    """jax.profiler trace window over training steps (SURVEY §5: the
+    reference had wall-clock meters only; this adds real device traces).
+    Called after each step with the post-increment step counter."""
+    if not cfg.TPU.PROFILE_DIR:
+        return
+    # post-increment counters run 1..N; the window covers steps
+    # (PROFILE_START, PROFILE_START + PROFILE_STEPS]
+    start = cfg.TPU.PROFILE_START
+    end = start + cfg.TPU.PROFILE_STEPS
+    if not _PROFILE_ACTIVE[0] and start < step <= end:
+        jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
+        _PROFILE_ACTIVE[0] = True
+        logger.info("profiler trace started -> %s", cfg.TPU.PROFILE_DIR)
+    elif _PROFILE_ACTIVE[0] and step > end:
+        jax.profiler.stop_trace()
+        _PROFILE_ACTIVE[0] = False
+        logger.info("profiler trace stopped")
 
 
 class _TxProxy:
