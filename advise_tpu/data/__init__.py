@@ -86,12 +86,18 @@ def _mode_cfg(cfg, mode: str):
 
 def build_dataset(cfg, mode: str = "train") -> ClipDataset:
     data_dir, label_dir, split = _mode_cfg(cfg, mode)
+    host_aug = None
+    if mode == "train" and not cfg.TPU.DEVICE_AUG:
+        from advise_tpu.data.host_aug import build_host_aug
+
+        host_aug = build_host_aug(cfg, mode)
     return ClipDataset(
         name=cfg.DATA.DATASET,
         data_dir=data_dir,
         label_dir=label_dir,
         split_name=split,
         sampler=build_sampler(cfg, mode),
+        host_aug=host_aug,
         ingest_wh=ingest_geometry(cfg, mode),
         backend=cfg.DATA.DECODE_BACKEND,
         synthetic_size=cfg.DATA.SYNTHETIC_SIZE,

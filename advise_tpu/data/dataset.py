@@ -79,6 +79,7 @@ class ClipDataset:
         sampler: Callable,
         ingest_wh: Tuple[int, int],
         backend: str = "auto",
+        host_aug=None,
         synthetic_size: int = 64,
         synthetic_length: int = 250,
         synthetic_res: int = 128,
@@ -88,6 +89,7 @@ class ClipDataset:
         self.name = name
         self.data_dir = data_dir
         self.sampler = sampler
+        self.host_aug = host_aug
         self.ingest_wh = tuple(ingest_wh)
         self.backend = backend
         self.retries = retries
@@ -148,4 +150,11 @@ class ClipDataset:
         flat = stamps.reshape(-1)
         frames = reader.get_frames(flat, resize_wh=self.ingest_wh)
         clips = frames.reshape(k, t, *frames.shape[1:])  # [K,T,H,W,C] u8
+        if self.host_aug is not None:
+            # PIL-exact host path (TPU.DEVICE_AUG=False): one seed per clip,
+            # re-used across frames (reference sampling.py:316-325)
+            seeds = rng.integers(0, 2**31 - 1, size=k)
+            clips = np.stack(
+                [self.host_aug(c, int(s)) for c, s in zip(clips, seeds)]
+            )  # [K,T,S,S,C] float32 normalized
         return clips, infos
