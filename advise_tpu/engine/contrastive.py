@@ -386,3 +386,21 @@ def eval_knn(ssl, q: jnp.ndarray, knn_k: int = 200):
     k = min(knn_k, dist.shape[1])
     yd, yi = jax.lax.top_k(dist, k)
     return yd, yi
+
+
+def knn_probe(cfg, ssl, labels_bank: jnp.ndarray, feats: jnp.ndarray,
+              labels: jnp.ndarray, knn_k: int = 200, t: float = 0.07):
+    """Online kNN classification accuracy against the kNN memory bank
+    (reference ContrastiveModel.eval_knn + the kNN protocol of instance
+    discrimination: similarity-weighted vote over the top-k neighbors).
+
+    labels_bank: [LENGTH] class id per bank row; feats: [N, dim]
+    l2-normalized query features; labels: [N]. Returns top-1 accuracy.
+    """
+    yd, yi = eval_knn(ssl, feats, knn_k)
+    neigh_labels = labels_bank[yi]  # [N, k]
+    w = jnp.exp(yd / t)
+    num_classes = int(labels_bank.max()) + 1
+    votes = jax.nn.one_hot(neigh_labels, num_classes) * w[..., None]
+    pred = jnp.argmax(votes.sum(axis=1), axis=-1)
+    return jnp.mean((pred == labels).astype(jnp.float32))

@@ -189,3 +189,17 @@ def test_knn_memory_updates():
     assert yd.shape == (4, 5)
     # nearest neighbor of a bank vector is itself
     assert (np.asarray(yi[:, 0]) == np.arange(4)).all()
+
+
+def test_knn_probe_separable_clusters():
+    """knn_probe classifies cleanly separable bank clusters perfectly."""
+    import jax.numpy as jnp
+
+    bank = np.concatenate(
+        [np.tile([1.0, 0.0], (10, 1)), np.tile([0.0, 1.0], (10, 1))]
+    ).astype(np.float32)
+    ssl = {"knn_mem": jnp.asarray(bank)}
+    labels_bank = jnp.asarray([0] * 10 + [1] * 10)
+    feats = jnp.asarray([[0.9, 0.1], [0.1, 0.9]], jnp.float32)
+    acc = C.knn_probe(None, ssl, labels_bank, feats, jnp.asarray([0, 1]), knn_k=5)
+    assert float(acc) == 1.0
