@@ -155,12 +155,17 @@ def _coerce(new: Any, old: Any, full_key: str) -> Any:
     tuple<->list and int->float relaxations."""
     if old is None or new is None:
         return CfgNode._convert(new)
-    if isinstance(new, str) and isinstance(old, (int, float)) and not isinstance(old, bool):
-        # YAML 1.1 parses "4e-2" (no dot) as a string; recover the number.
+    if isinstance(new, str) and not isinstance(old, str):
+        # YAML 1.1 parses "4e-2" (no dot) as a string and "(0.9, 0.999)" as
+        # a string; recover the python literal when the key is non-string.
         try:
-            new = float(new)
-        except ValueError:
-            pass
+            new = ast.literal_eval(new)
+        except (ValueError, SyntaxError):
+            if isinstance(old, (int, float)) and not isinstance(old, bool):
+                try:
+                    new = float(new)
+                except ValueError:
+                    pass
     if isinstance(old, tuple) and isinstance(new, list):
         return tuple(new)
     if isinstance(old, list) and isinstance(new, tuple):

@@ -29,6 +29,18 @@ from advise_tpu.parallel.mesh import BATCH_AXES
 from advise_tpu.solver.optimizer import apply_direction, global_grad_norm
 
 
+def _apply_model(model, params, batch_stats, x, rng, train):
+    """Forward with batch_stats mutation in train mode."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        out, mutated = model.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        return out, mutated.get("batch_stats", batch_stats)
+    return model.apply(variables, x, train=False), batch_stats
+
+
 def speed_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=True):
     """Speed-pretext loss (reference tools/train.py output_handler for
     TASK='speed': CE or smoothed-BCE over speed logits + acc@1).
@@ -39,18 +51,7 @@ def speed_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=Tr
     b, k = clips.shape[:2]
     x = clips.reshape(b * k, *clips.shape[2:])
     labels = infos["spd_label"].reshape(b * k)
-    variables = {"params": params, "batch_stats": batch_stats}
-    out, mutated = model.apply(
-        variables,
-        x,
-        train=train,
-        mutable=["batch_stats"] if train else [],
-        rngs={"dropout": rng} if train else None,
-    ) if train else (
-        model.apply(variables, x, train=False),
-        {"batch_stats": batch_stats},
-    )
-    logits = out
+    logits, new_bs = _apply_model(model, params, batch_stats, x, rng, train)
     metric = cfg.SSL.METRIC[0]
     if metric in ("bce_logit", "smoothing_bce_logit"):
         onehot = jax.nn.one_hot(labels, logits.shape[-1])
@@ -59,7 +60,7 @@ def speed_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=Tr
         loss = L.cross_entropy(logits, labels)
     acc = L.top_k_accuracy(logits, labels, k=1)
     stats = {"loss_spd": loss, "acc_spd": acc}
-    return loss, (mutated.get("batch_stats", batch_stats), stats)
+    return loss, (new_bs, stats)
 
 
 def action_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=True):
@@ -68,24 +69,14 @@ def action_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=T
     b, k = clips.shape[:2]
     x = clips.reshape(b * k, *clips.shape[2:])
     labels = jnp.repeat(infos["cls_id"].reshape(b), k)
-    variables = {"params": params, "batch_stats": batch_stats}
-    out, mutated = model.apply(
-        variables,
-        x,
-        train=train,
-        mutable=["batch_stats"] if train else [],
-        rngs={"dropout": rng} if train else None,
-    ) if train else (
-        model.apply(variables, x, train=False),
-        {"batch_stats": batch_stats},
-    )
+    out, new_bs = _apply_model(model, params, batch_stats, x, rng, train)
     loss = L.cross_entropy(out, labels)
     stats = {
         "loss_cls": loss,
         "acc@1": L.top_k_accuracy(out, labels, 1),
         "acc@5": L.top_k_accuracy(out, labels, 5),
     }
-    return loss, (mutated.get("batch_stats", batch_stats), stats)
+    return loss, (new_bs, stats)
 
 
 def masked_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=True):

@@ -195,6 +195,11 @@ class MaskMViT(nn.Module):
             if cfg.MASK.PRED_HOG:
                 nbins = cfg.MASK.PRED_HOG_NBINS
                 cell = cfg.MASK.PRED_HOG_CELL_SZ
+                assert stride_hw >= cell, (
+                    f"HOG cell ({cell}px) must not exceed the token stride "
+                    f"({stride_hw}px at depth {depth}); add POOL_Q_STRIDE "
+                    "stages or reduce PRED_HOG_CELL_SZ"
+                )
                 ncell = (stride_hw // cell) ** 2
                 num_class = 3 * nbins * ncell
                 frames = imgs[:, ::pt][:, :t_out]
