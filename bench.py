@@ -90,12 +90,15 @@ def main():
     )
     infos = {"spd_label": jnp.asarray(rng.integers(0, 4, size=(b, k)))}
 
-    # warmup / compile
+    # warmup / compile. NOTE: on the axon TPU relay, block_until_ready
+    # returns before execution completes; fetching a VALUE is the only
+    # reliable completion barrier. The steps are state-chained, so fetching
+    # a scalar from the final step forces the whole sequence to execute.
     for i in range(3):
         state, stats = step(
             state, clips, infos, jax.random.PRNGKey(i), jnp.float32(1e-3)
         )
-    jax.block_until_ready(stats)
+    float(jnp.sum(stats["grad_norm"]))
 
     n_steps = 20 if on_tpu else 5
     t0 = time.perf_counter()
@@ -103,7 +106,7 @@ def main():
         state, stats = step(
             state, clips, infos, jax.random.PRNGKey(100 + i), jnp.float32(1e-3)
         )
-    jax.block_until_ready(stats)
+    float(jnp.sum(stats["grad_norm"]))  # completion barrier (value fetch)
     dt = time.perf_counter() - t0
 
     clips_per_step = b * k
