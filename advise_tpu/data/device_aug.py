@@ -131,7 +131,12 @@ def color_jitter_clip(clip, key, p, b, c, s, h):
     ]
 
     def body(i, x):
-        return jax.lax.switch(order[i], branches, x)
+        out = jax.lax.switch(order[i], branches, x)
+        # materialize each stage: under vmap the switch lowers to selects
+        # over all branches, and letting XLA fuse the 4-stage select tree
+        # makes it recompute producers multiplicatively (measured 100x
+        # blowup composing this with RRC+blur on TPU, BASELINE.md)
+        return jax.lax.optimization_barrier(out)
 
     jittered = jax.lax.fori_loop(0, 4, body, clip)
     apply = jax.random.uniform(k_apply, ()) < p
@@ -384,7 +389,11 @@ def make_aa_aug(cfg):
         bsz, k = batch_u8.shape[:2]
         flat = batch_u8.reshape(bsz * k, *batch_u8.shape[2:])
         keys = jax.random.split(key, bsz * k)
-        out = _per_clip(one_clip)(flat, keys)
+        # lax.map, not vmap: under vmap the RandAugment op-selection
+        # lax.switch lowers to selects that EXECUTE all 15 branches per
+        # slot (measured ~100x blowup); a sequential map keeps the switch
+        # a true runtime branch, so each clip runs only its sampled ops.
+        out = jax.lax.map(lambda args: one_clip(*args), (flat, keys))
         return out.reshape(bsz, k, *out.shape[1:])
 
     return apply

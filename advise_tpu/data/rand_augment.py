@@ -129,11 +129,15 @@ def autocontrast(clip, _v=None):
 
 def equalize(clip, _v=None):
     """Histogram equalization per frame+channel (PIL equalize), using a
-    256-bin one-hot histogram -> cumulative LUT -> gather."""
+    256-bin bincount histogram -> cumulative LUT -> gather. (bincount, not
+    one-hot: a one-hot histogram materializes T*C*H*W*256 floats — ~5 GB at
+    32x224x224 — and was the dominant cost of the RandAugment pipeline.)"""
     t, h, w, c = clip.shape
     x = jnp.clip(clip, 0, 255).astype(jnp.int32)
     flat = x.transpose(0, 3, 1, 2).reshape(t * c, h * w)
-    hist = jax.nn.one_hot(flat, 256, dtype=jnp.float32).sum(axis=1)  # [TC,256]
+    hist = jax.vmap(lambda row: jnp.bincount(row, length=256))(flat).astype(
+        jnp.float32
+    )  # [TC, 256]
     # PIL: step = (total - last_nonzero_count) // 255
     nonzero = hist > 0
     last_idx = 255 - jnp.argmax(nonzero[:, ::-1], axis=1)
