@@ -49,7 +49,7 @@ def build_sampler(cfg, mode: str = "train"):
                 speed_range=cfg.SSL.RANGE,
                 jitter=cfg.SSL.JITTER,
             )
-        if cfg.TASK in ("action_recog", "contrastive"):
+        if cfg.TASK in ("action_recog", "contrastive", "masked"):
             return spl.UniformClipSampler(
                 num_clips=cfg.DATA.NUM_CLIP,
                 num_frames=cfg.DATA.NUM_FRAMES,
