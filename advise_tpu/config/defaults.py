@@ -317,6 +317,9 @@ _C.DATA.SYNTHETIC_SIZE = 64
 _C.DATA.SYNTHETIC_LENGTH = 250
 _C.DATA.SYNTHETIC_RES = 128
 _C.DATA.SYNTHETIC_NUM_CLASSES = 101
+# Motion-strength multiplier of the synthetic videos (playback-speed
+# signal strength for convergence benchmarks).
+_C.DATA.SYNTHETIC_MOTION = 1.0
 
 # -----------------------------------------------------------------------------
 # ResNet options

@@ -104,6 +104,7 @@ def build_dataset(cfg, mode: str = "train") -> ClipDataset:
         synthetic_length=cfg.DATA.SYNTHETIC_LENGTH,
         synthetic_res=cfg.DATA.SYNTHETIC_RES,
         synthetic_num_classes=cfg.DATA.SYNTHETIC_NUM_CLASSES,
+        synthetic_motion=cfg.DATA.SYNTHETIC_MOTION,
     )
 
 

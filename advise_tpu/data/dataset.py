@@ -84,6 +84,7 @@ class ClipDataset:
         synthetic_length: int = 250,
         synthetic_res: int = 128,
         synthetic_num_classes: int = 101,
+        synthetic_motion: float = 1.0,
         retries: int = 10,
     ):
         self.name = name
@@ -96,6 +97,7 @@ class ClipDataset:
         self.synthetic_length = synthetic_length
         self.synthetic_res = synthetic_res
         self.synthetic_num_classes = synthetic_num_classes
+        self.synthetic_motion = synthetic_motion
 
         if backend == "synthetic" or data_dir is None:
             self.backend = "synthetic"
@@ -116,6 +118,7 @@ class ClipDataset:
                 length=self.synthetic_length,
                 res=self.synthetic_res,
                 cls_id=self.items[idx][1],
+                motion=self.synthetic_motion,
             )
         rel, _ = self.items[idx]
         return open_video(os.path.join(self.data_dir, rel), self.backend)

@@ -158,7 +158,8 @@ class SyntheticReader(VideoReader):
     of the squares reveals the sampling stride.
     """
 
-    def __init__(self, seed: int, length: int = 250, res: int = 128, cls_id: int = 0):
+    def __init__(self, seed: int, length: int = 250, res: int = 128, cls_id: int = 0,
+                 motion: float = 1.0):
         self.seed = int(seed)
         self._length = int(length)
         self.res = int(res)
@@ -166,7 +167,9 @@ class SyntheticReader(VideoReader):
         rng = np.random.default_rng(self.seed)
         self.n_obj = 3
         self.pos0 = rng.uniform(0, 1, size=(self.n_obj, 2))
-        self.vel = rng.uniform(-0.02, 0.02, size=(self.n_obj, 2))
+        # per-frame velocity; `motion` scales displacement so the playback
+        # speed signal strength is tunable for convergence benchmarks
+        self.vel = motion * rng.uniform(-0.02, 0.02, size=(self.n_obj, 2))
         self.size = rng.integers(max(res // 12, 4), max(res // 5, 8), size=self.n_obj)
         self.color = rng.integers(40, 255, size=(self.n_obj, 3))
         self.bg_phase = rng.uniform(0, 2 * np.pi, size=3)
