@@ -1,4 +1,4 @@
-"""Checkpointing: periodic + best + auto-resume.
+"""Checkpointing: periodic + best + auto-resume + pretrain init.
 
 Reference: ``utils/misc.py:226-349`` (``checkpoint_manager``),
 ``utils/misc.py:62-164`` (resume/init). Same file naming
@@ -7,6 +7,17 @@ and newest-epoch auto-resume; serialization is Orbax (the JAX-native
 checkpointer) over the full functional state {params, batch_stats,
 opt_state, ssl buffers, step} — which, unlike the reference, also makes
 EMA/queue state restartable.
+
+Two restore modes, mirroring the reference's two paths:
+
+- strict same-structure resume (``TRAIN.RESUME`` / ``TRAIN.AUTO_RESUME``,
+  reference ``training_resume`` strict branch): the whole TrainState.
+- filtered pretrain init (top-level ``cfg.RESUME``, reference
+  ``training_resume`` non-strict branch, misc.py:117-152): loads only
+  params/batch_stats, strips the ``backbone.`` prefix of ContrastiveModel
+  checkpoints, drops any key containing ``head`` (reference drops
+  ``hist``/``head`` — our EMA twin lives in ``ssl`` so it never collides),
+  skips shape mismatches with a warning, and leaves optimizer/step fresh.
 """
 
 from __future__ import annotations
@@ -23,20 +34,50 @@ import orbax.checkpoint as ocp
 
 logger = logging.getLogger(__name__)
 
+# per-task primary criteria key; falls back to the first loss_* in the
+# summary so SSL tasks track their own objective (reference injects a
+# per-task save_best_criteria callable into checkpoint_manager)
+_CRITERIA_ORDER = (
+    "loss_spd", "loss_cls", "loss_mask", "loss_nce", "loss_byol",
+    "loss_swav", "loss_simclr",
+)
+
+
+def default_criteria(summary: Dict[str, float]) -> float:
+    for k in _CRITERIA_ORDER:
+        if k in summary:
+            return summary[k]
+    for k in sorted(summary):
+        if k.startswith("loss"):
+            return summary[k]
+    return 0.0
+
 
 class CheckpointManager:
     def __init__(self, cfg, criteria_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.dir = os.path.abspath(os.path.join(cfg.LOGDIR, "checkpoints"))
         self.save_freq = cfg.TRAIN.SAVE_FREQ
-        self.criteria_fn = criteria_fn or (lambda summary: summary.get("loss_spd", summary.get("loss_cls", 0.0)))
-        self.best = float("inf")
+        self.criteria_fn = criteria_fn or default_criteria
         self._ckptr = ocp.StandardCheckpointer()
         if jax.process_index() == 0:
             os.makedirs(self.dir, exist_ok=True)
+        # best-criteria survives restarts via the Model_Best meta sidecar
+        self.best = float("inf")
+        meta = self._load_meta(self._path("Model_Best"))
+        if meta and "best" in meta:
+            self.best = float(meta["best"])
+            logger.info("best criteria restored from sidecar: %.4f", self.best)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.dir, name)
+
+    @staticmethod
+    def _load_meta(path: str) -> Optional[Dict]:
+        try:
+            return np.load(path + ".meta.npy", allow_pickle=True)[0]
+        except Exception:
+            return None
 
     def save(self, state, epoch: int, summary: Dict[str, float]):
         """rank-0 style save: periodic + best (reference misc.py:280-349)."""
@@ -51,7 +92,7 @@ class CheckpointManager:
         if crit < self.best:
             self.best = crit
             p = self._path("Model_Best")
-            self._save_at(p, state, meta)
+            self._save_at(p, state, {**meta, "best": crit})
             logger.info("best checkpoint updated (criteria %.4f): %s", crit, p)
 
     def _save_at(self, path: str, state, meta: Dict):
@@ -77,10 +118,90 @@ class CheckpointManager:
         return self._ckptr.restore(path, target=target)
 
 
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        out[key] = leaf
+    return out
+
+
+def load_pretrained(path: str, state, drop_substr: Tuple[str, ...] = ("head",)):
+    """Filtered, shape-tolerant init of params+batch_stats from a pretrain
+    checkpoint (reference ``training_resume`` non-strict branch,
+    utils/misc.py:117-152):
+
+    - checkpoint keys under ``backbone/`` also match bare target keys (the
+      ``name.replace('backbone.', '')`` of misc.py:127 — ContrastiveModel
+      pretrains wrap the encoder in a ``backbone`` submodule);
+    - any target key containing one of ``drop_substr`` keeps its fresh
+      init (the ``'head' in name: skip`` of misc.py:124; ``hist`` EMA
+      state lives in ``TrainState.ssl`` here and is never loaded);
+    - shape mismatches are skipped with a warning (the strict->non-strict
+      fallback of misc.py:146-152);
+    - optimizer state / step / ssl stay fresh (probe and fine-tune runs
+      start a new schedule; reference loads opt state only for same-task
+      resumes).
+
+    Returns (new_state, loaded_keys, skipped_keys).
+    """
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(path)
+    loaded, skipped = [], []
+
+    def merge(target_tree, raw_tree, section: str):
+        if raw_tree is None:
+            return target_tree
+        src = _flatten(raw_tree)
+        # checkpoint 'backbone/x' keys also serve target 'x' lookups
+        alias = {
+            k[len("backbone/"):]: v
+            for k, v in src.items()
+            if k.startswith("backbone/")
+        }
+        tgt = _flatten(target_tree)
+        new = {}
+        for key, cur in tgt.items():
+            tag = f"{section}:{key}"
+            if any(s in key for s in drop_substr):
+                skipped.append(tag + " (dropped prefix)")
+                new[key] = cur
+                continue
+            cand = src.get(key, alias.get(key))
+            if cand is None:
+                skipped.append(tag + " (missing in ckpt)")
+                new[key] = cur
+            elif tuple(cand.shape) != tuple(cur.shape):
+                skipped.append(
+                    f"{tag} (shape {tuple(cand.shape)} vs {tuple(cur.shape)})"
+                )
+                new[key] = cur
+            else:
+                loaded.append(tag)
+                new[key] = np.asarray(cand).astype(cur.dtype)
+        leaves, treedef = jax.tree_util.tree_flatten(target_tree)
+        keys = list(tgt.keys())
+        return jax.tree_util.tree_unflatten(
+            treedef, [new[k] for k in keys]
+        )
+
+    new_params = merge(state.params, raw.get("params"), "params")
+    new_bs = merge(state.batch_stats, raw.get("batch_stats"), "batch_stats")
+    state = state.replace(params=new_params, batch_stats=new_bs)
+    logger.info(
+        "pretrain init from %s: %d keys loaded, %d skipped", path,
+        len(loaded), len(skipped),
+    )
+    if skipped:
+        logger.info("skipped keys:\n%s", "\n".join("  " + s for s in skipped))
+    return state, loaded, skipped
+
+
 def auto_resume(cfg, manager: CheckpointManager, state):
     """TRAIN.AUTO_RESUME / explicit TRAIN.RESUME (reference
     tools/train.py:317-319, utils/misc.py:86-164). Returns
-    (state, start_epoch)."""
+    (state, start_epoch, resumed)."""
     path, epoch = None, -1
     if cfg.TRAIN.RESUME:
         path = cfg.TRAIN.RESUME
@@ -91,7 +212,7 @@ def auto_resume(cfg, manager: CheckpointManager, state):
         if last:
             path, epoch = last
     if path is None:
-        return state, cfg.SOLVER.START_EPOCH
+        return state, cfg.SOLVER.START_EPOCH, False
     logger.info("resuming from %s (epoch %d)", path, epoch)
     state = manager.restore(path, state)
-    return state, epoch + 1
+    return state, epoch + 1, True

@@ -90,12 +90,17 @@ def momentum_at(cfg, epoch_exact: jnp.ndarray) -> jnp.ndarray:
 
 
 def update_ema(ssl, params, batch_stats, m) -> Dict[str, Any]:
-    """_update_history (reference :158-172): hist = hist*m + cur*(1-m)."""
+    """_update_history (reference :158-172): hist = hist*m + cur*(1-m).
+
+    Only params are EMA'd; the momentum encoder's BN running stats
+    (``ema_batch_stats``) accumulate during its own key forwards in
+    :func:`compute_keys`, matching the reference where the momentum
+    encoder is a full module owning its own BN buffers
+    (contrastive.py:308-371)."""
     new = dict(ssl)
     new["ema_params"] = jax.tree_util.tree_map(
         lambda h, p: h * m + p * (1.0 - m), ssl["ema_params"], params
     )
-    new["ema_batch_stats"] = batch_stats  # track current running stats
     return new
 
 
@@ -121,7 +126,12 @@ def _proj_and_preds(out):
 def compute_keys(cfg, model, ssl, views, rng):
     """Momentum-encoder keys for a list of views (reference
     compute_key_feat :308-371), with optional shuffle-BN over the sync
-    axis (reference _batch_shuffle :174-214 with LOCAL_SHUFFLE_BN)."""
+    axis (reference _batch_shuffle :174-214 with LOCAL_SHUFFLE_BN).
+
+    Returns (keys, new_ema_batch_stats): the momentum encoder runs its BN
+    in train mode and accumulates its own running stats, as the
+    reference's momentum module does — callers must write the returned
+    stats back into ``ssl['ema_batch_stats']``."""
     shuffle_on = (
         cfg.BN.NORM_TYPE == "sync_batchnorm"
         and not cfg.BN.GLOBAL_SYNC
@@ -129,19 +139,20 @@ def compute_keys(cfg, model, ssl, views, rng):
         and cfg.TPU.MESH_SYNC != -1  # shuffle within sync groups
     )
     keys = []
+    ema_bs = ssl["ema_batch_stats"]
     for i, v in enumerate(views):
         v = jax.lax.stop_gradient(v)
         if shuffle_on:
             v, perm = batch_shuffle(v, jax.random.fold_in(rng, i), SYNC_AXIS)
-        out, _ = _apply_backbone(
-            model, ssl["ema_params"], ssl["ema_batch_stats"], v, train=True
+        out, ema_bs = _apply_backbone(
+            model, ssl["ema_params"], ema_bs, v, train=True
         )
         proj, _ = _proj_and_preds(out)
         key = l2_normalize(proj)
         if shuffle_on:
             key = batch_unshuffle(key, perm, SYNC_AXIS)
         keys.append(jax.lax.stop_gradient(key))
-    return keys
+    return keys, jax.lax.stop_gradient(ema_bs)
 
 
 def dequeue_and_enqueue(ssl, keys) -> Dict[str, Any]:
@@ -151,6 +162,12 @@ def dequeue_and_enqueue(ssl, keys) -> Dict[str, Any]:
     key = all_gather_cat(keys[0], BATCH_AXES)  # [global_B, dim]
     k = ssl["queue_x"].shape[0]
     n = key.shape[0]
+    # mirror the reference's `assert self.k % num_items == 0`: otherwise the
+    # final dynamic_update_slice would clamp and silently overwrite rows
+    assert k % n == 0, (
+        f"CONTRASTIVE.QUEUE_LEN ({k}) must be divisible by the global key "
+        f"batch ({n})"
+    )
     ptr = ssl["ptr"]
     queue = jax.lax.dynamic_update_slice(
         ssl["queue_x"], key.astype(ssl["queue_x"].dtype), (ptr, 0)
@@ -192,11 +209,13 @@ def byol_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     out2, bs2 = _apply_backbone(model, params, bs1, views[1], True, rng)
     _, preds2 = _proj_and_preds(out2)
 
-    keys = compute_keys(cfg, model, ssl, views[:2], rng)
+    keys, ema_bs = compute_keys(cfg, model, ssl, views[:2], rng)
     loss = (
         -(jnp.sum(preds1[0] * keys[1], axis=-1)).mean() / t
         + -(jnp.sum(preds2[0] * keys[0], axis=-1)).mean() / t
     )
+    ssl = dict(ssl)
+    ssl["ema_batch_stats"] = ema_bs
     ssl = knn_update(cfg, ssl, l2_normalize(proj1), infos["item_id"])
     return loss, bs2, ssl, {"loss_byol": loss}
 
@@ -207,7 +226,9 @@ def moco_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     out, new_bs = _apply_backbone(model, params, batch_stats, views[0], True, rng)
     proj, _ = _proj_and_preds(out)
     q = l2_normalize(proj)
-    keys = compute_keys(cfg, model, ssl, views[1:], rng)
+    keys, ema_bs = compute_keys(cfg, model, ssl, views[1:], rng)
+    ssl = dict(ssl)
+    ssl["ema_batch_stats"] = ema_bs
     queue_neg = q @ jax.lax.stop_gradient(ssl["queue_x"]).T  # [B, K]
     logits_list = []
     for key in keys:

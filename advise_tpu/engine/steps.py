@@ -272,6 +272,14 @@ def make_contrastive_train_step(
         direction, new_opt = bundle.tx.update(grads, state.opt_state, state.params)
         new_params = apply_direction(state.params, direction, lr, bundle.lr_scales)
         new_bs = pmean_tree(new_bs, BATCH_AXES)
+        if "ema_batch_stats" in new_ssl:
+            # the momentum encoder's BN running stats accumulate per device
+            # (each saw different keys); average so the replicated ssl state
+            # stays bit-identical across the mesh
+            new_ssl = dict(new_ssl)
+            new_ssl["ema_batch_stats"] = pmean_tree(
+                new_ssl["ema_batch_stats"], BATCH_AXES
+            )
         new_state = state.replace(
             params=new_params,
             batch_stats=new_bs,

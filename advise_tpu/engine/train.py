@@ -103,7 +103,15 @@ def trainer(cfg, tb_logger=None) -> TrainState:
     logger.info("model %s params: %s", cfg.MODEL.MODEL_NAME, f"{param_count(state.params):,}")
 
     ckpt = CheckpointManager(cfg)
-    state, start_epoch = auto_resume(cfg, ckpt, state)
+    state, start_epoch, resumed = auto_resume(cfg, ckpt, state)
+    if not resumed and cfg.RESUME:
+        # top-level RESUME = fine-tune / linear-probe init from a pretrain
+        # checkpoint (reference tools/train.py:316-319 + utils/misc.py
+        # training_resume non-strict branch): backbone params + BN stats
+        # only, head/optimizer/step fresh
+        from advise_tpu.engine.checkpoint import load_pretrained
+
+        state, _, _ = load_pretrained(cfg.RESUME, state)
 
     device_aug = build_device_aug(cfg, "train") if cfg.TPU.DEVICE_AUG else None
     step_fn = make_train_step(cfg, mesh, model, bundle, device_aug)

@@ -64,3 +64,44 @@ def test_training_helper_summary_has_pipeline_share():
     s = h.epoch_end()
     assert "loss_spd" in s and "ep_time" in s
     assert 0.0 <= s.get("input_pipeline_share", 0.0) <= 1.0
+
+
+def test_default_criteria_tracks_ssl_losses():
+    """Best-checkpoint criteria must follow the task's own loss, not return
+    a constant for SSL/masked tasks (round-1 advisor finding)."""
+    from advise_tpu.engine.checkpoint import default_criteria
+
+    assert default_criteria({"loss_spd": 0.3, "acc_spd": 0.5}) == 0.3
+    assert default_criteria({"loss_nce": 1.2, "acc_ins": 0.1}) == 1.2
+    assert default_criteria({"loss_byol": -0.8}) == -0.8
+    assert default_criteria({"loss_mask": 0.05}) == 0.05
+    assert default_criteria({"acc@1": 0.9}) == 0.0  # no loss at all
+
+
+def test_best_criteria_survives_restart(tmp_path):
+    """Model_Best's criteria value persists in the meta sidecar so a
+    restarted run does not clobber a historically better checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from advise_tpu.engine.checkpoint import CheckpointManager
+    from advise_tpu.engine.state import TrainState
+
+    cfg = get_cfg()
+    cfg.LOGDIR = str(tmp_path)
+    cfg.TRAIN.SAVE_FREQ = 100
+    cfg.SOLVER.MAX_EPOCH = 100
+    state = TrainState(
+        params={"w": jnp.ones((2,))}, batch_stats={}, opt_state=(),
+        step=jnp.zeros((), jnp.int32),
+    )
+    mgr = CheckpointManager(cfg)
+    mgr.save(state, 0, {"loss_nce": 0.5})
+    assert mgr.best == 0.5
+    # fresh manager (simulated restart) reloads the best value
+    mgr2 = CheckpointManager(cfg)
+    assert mgr2.best == 0.5
+    mgr2.save(state, 1, {"loss_nce": 0.7})  # worse: must NOT become best
+    assert mgr2.best == 0.5
+    meta = CheckpointManager._load_meta(mgr2._path("Model_Best"))
+    assert meta["epoch"] == 0

@@ -54,8 +54,8 @@ def test_train_checkpoint_resume_validate(tmp_path):
     # auto-resume picks up epoch 0 -> start at 1 (== MAX_EPOCH, so trainer
     # would do nothing more)
     cfg.TRAIN.AUTO_RESUME = True
-    _, start = auto_resume(cfg, mgr, state)
-    assert start == 1
+    _, start, resumed = auto_resume(cfg, mgr, state)
+    assert start == 1 and resumed
 
     # validation over a couple of videos produces a dense confusion matrix
     model = build_model(cfg)
