@@ -515,6 +515,21 @@ _C.MVIT.REV.RES_PATH = "conv"
 _C.MVIT.REV.PRE_Q_FUSION = "avg"
 
 # -----------------------------------------------------------------------------
+# Video Swin options (the reference hardcodes these as SwinTransformer3D
+# constructor defaults, models/swin_transformer.py:452-498; a yacs node is
+# needed here so presets like Swin-B are config-drivable)
+# -----------------------------------------------------------------------------
+_C.SWIN = CfgNode()
+
+_C.SWIN.PATCH_SIZE = [2, 4, 4]
+_C.SWIN.EMBED_DIM = 96
+_C.SWIN.DEPTHS = [2, 2, 6, 2]
+_C.SWIN.NUM_HEADS = [3, 6, 12, 24]
+_C.SWIN.WINDOW_SIZE = [2, 7, 7]
+_C.SWIN.MLP_RATIO = 4.0
+_C.SWIN.DROP_PATH_RATE = 0.1
+
+# -----------------------------------------------------------------------------
 # Multigrid training options (kept for config parity; not wired in reference)
 # -----------------------------------------------------------------------------
 _C.MULTIGRID = CfgNode()

@@ -40,8 +40,11 @@ from advise_tpu.parallel.mesh import BATCH_AXES, SYNC_AXIS
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    """(reference Normalize module, contrastive.py:934-946)."""
-    return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + 1e-12)
+    """(reference Normalize module, contrastive.py:934-946). The norm is
+    floored before the sqrt so the gradient stays finite at x=0 (JAX's
+    sqrt has a NaN grad there; torch F.normalize clamps the same way)."""
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, 1e-12))
 
 
 def init_ssl_state(cfg, params, batch_stats, rng) -> Dict[str, Any]:
@@ -145,7 +148,8 @@ def compute_keys(cfg, model, ssl, views, rng):
         if shuffle_on:
             v, perm = batch_shuffle(v, jax.random.fold_in(rng, i), SYNC_AXIS)
         out, ema_bs = _apply_backbone(
-            model, ssl["ema_params"], ema_bs, v, train=True
+            model, ssl["ema_params"], ema_bs, v, train=True,
+            rng=jax.random.fold_in(rng, 100 + i),
         )
         proj, _ = _proj_and_preds(out)
         key = l2_normalize(proj)

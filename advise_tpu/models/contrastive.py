@@ -17,21 +17,32 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from advise_tpu.models.mvit import MViT
 from advise_tpu.models.resnet3d import ResNet3D
 from advise_tpu.models.slowfast import SlowFast
+from advise_tpu.models.swin3d import SwinTransformer3D
 from advise_tpu.models.x3d import X3D
 
 SWAV_NUM_PROTOTYPES = 1000  # reference contrastive.py:104 (hardcoded 1000)
 
 
 def _backbone_cls(arch: str):
-    """_MODEL_TYPES dispatch (reference contrastive.py:25-29 + build)."""
+    """_MODEL_TYPES dispatch (reference contrastive.py:20-29 + build :40).
+    'swin' has no reference counterpart (the reference carries
+    SwinTransformer3D standalone only); it backs the Swin-B MoCo flagship
+    (BASELINE.json config #4)."""
     arch = arch.lower()
     if arch == "slowfast":
         return SlowFast
     if arch == "x3d":
         return X3D
-    return ResNet3D  # slow / c2d / i3d / slow_c2d
+    if arch == "mvit":
+        return MViT
+    if arch in ("swin", "video_swin", "swin3d"):
+        return SwinTransformer3D
+    if arch in ("slow", "c2d", "i3d", "slow_c2d"):
+        return ResNet3D
+    raise KeyError(f"ContrastiveModel: unknown MODEL.ARCH={arch!r}")
 
 
 class ContrastiveModel(nn.Module):

@@ -345,6 +345,11 @@ class MViT(nn.Module):
             num_mlp_layers=cfg.CONTRASTIVE.NUM_MLP_LAYERS if contrastive else 1,
             mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
             bn_mlp=cfg.CONTRASTIVE.BN_MLP if contrastive else False,
+            bn_sync_axes=(
+                getattr(self.norm, "keywords", {}).get("sync_axes", ())
+                if (contrastive and cfg.CONTRASTIVE.BN_SYNC_MLP)
+                else ()
+            ),
             dtype=self.dtype,
             name="head",
         )(x, train)

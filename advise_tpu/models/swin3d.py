@@ -310,51 +310,86 @@ class SwinTransformer3D(nn.Module):
     cfg: Any  # CfgRef
     norm: Any
     dtype: Optional[jnp.dtype] = None
-    patch_size: Tuple[int, int, int] = (2, 4, 4)
-    embed_dim: int = 96
-    depths: Tuple[int, ...] = (2, 2, 6, 2)
-    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
-    window_size: Tuple[int, int, int] = (2, 7, 7)
-    mlp_ratio: float = 4.0
-    drop_path_rate: float = 0.1
+    # None -> resolve from cfg.SWIN (config-driven presets, e.g. Swin-B);
+    # explicit values override (unit tests / AdViSe temporal head reuse)
+    patch_size: Optional[Tuple[int, int, int]] = None
+    embed_dim: Optional[int] = None
+    depths: Optional[Tuple[int, ...]] = None
+    num_heads: Optional[Tuple[int, ...]] = None
+    window_size: Optional[Tuple[int, int, int]] = None
+    mlp_ratio: Optional[float] = None
+    drop_path_rate: Optional[float] = None
     include_head: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True):
         cfg = self.cfg
+        patch_size = tuple(self.patch_size or cfg.SWIN.PATCH_SIZE)
+        embed_dim = self.embed_dim or cfg.SWIN.EMBED_DIM
+        depths = tuple(self.depths or cfg.SWIN.DEPTHS)
+        num_heads = tuple(self.num_heads or cfg.SWIN.NUM_HEADS)
+        window_size = tuple(self.window_size or cfg.SWIN.WINDOW_SIZE)
+        mlp_ratio = self.mlp_ratio or cfg.SWIN.MLP_RATIO
+        drop_path_rate = (
+            self.drop_path_rate
+            if self.drop_path_rate is not None
+            else cfg.SWIN.DROP_PATH_RATE
+        )
         # patch embed (conv, no flatten — Swin keeps the grid)
         x = nn.Conv(
-            self.embed_dim,
-            kernel_size=tuple(self.patch_size),
-            strides=tuple(self.patch_size),
+            embed_dim,
+            kernel_size=patch_size,
+            strides=patch_size,
             padding="VALID",
             dtype=self.dtype,
             name="patch_embed",
         )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_embed")(x)
 
-        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
-        dim = self.embed_dim
+        dpr = np.linspace(0, drop_path_rate, sum(depths))
+        dim = embed_dim
         idx = 0
-        for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+        for i, (depth, heads) in enumerate(zip(depths, num_heads)):
             x = BasicLayer(
                 dim=dim,
                 depth=depth,
                 num_heads=heads,
-                window_size=tuple(self.window_size),
-                mlp_ratio=self.mlp_ratio,
+                window_size=window_size,
+                mlp_ratio=mlp_ratio,
                 drop_path=[float(d) for d in dpr[idx : idx + depth]],
-                downsample=i < len(self.depths) - 1,
+                downsample=i < len(depths) - 1,
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, not train)
             idx += depth
-            if i < len(self.depths) - 1:
+            if i < len(depths) - 1:
                 dim *= 2
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         if not self.include_head:
             return x
         x = jnp.mean(x, axis=(1, 2, 3))
+        contrastive = cfg.MODEL.MODEL_NAME == "ContrastiveModel"
+        if contrastive:
+            # CONTRASTIVE.DIM projection MLP (same head family the MViT
+            # backbone uses inside ContrastiveModel)
+            from advise_tpu.models.layers.heads import TransformerBasicHead
+
+            return TransformerBasicHead(
+                num_classes=cfg.CONTRASTIVE.DIM,
+                dropout_rate=cfg.MODEL.DROPOUT_RATE,
+                act_func=cfg.MODEL.HEAD_ACT,
+                detach_final_fc=cfg.MODEL.DETACH_FINAL_FC,
+                num_mlp_layers=cfg.CONTRASTIVE.NUM_MLP_LAYERS,
+                mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
+                bn_mlp=cfg.CONTRASTIVE.BN_MLP,
+                bn_sync_axes=(
+                    getattr(self.norm, "keywords", {}).get("sync_axes", ())
+                    if cfg.CONTRASTIVE.BN_SYNC_MLP
+                    else ()
+                ),
+                dtype=self.dtype,
+                name="head",
+            )(x, train)
         x = nn.Dense(
             cfg.MODEL.NUM_CLASSES, kernel_init=trunc02, dtype=self.dtype,
             name="head",
