@@ -513,6 +513,9 @@ _C.MVIT.REV.RESPATH_FUSE = "concat"
 _C.MVIT.REV.BUFFER_LAYERS = []
 _C.MVIT.REV.RES_PATH = "conv"
 _C.MVIT.REV.PRE_Q_FUSION = "avg"
+# TPU-only: True = O(1)-memory custom-VJP reversible scan over uniform
+# segments; False = same coupling under plain autodiff (gradient oracle)
+_C.MVIT.REV.O1_SCAN = True
 
 # -----------------------------------------------------------------------------
 # Video Swin options (the reference hardcodes these as SwinTransformer3D

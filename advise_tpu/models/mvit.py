@@ -5,13 +5,19 @@ Reference: ``models/video_model_builder.py:787-1245`` (config-complete here
 dim/head multiplier schedule, adaptive KV-stride decay, abs/sep/fixed-
 sincos position embeddings, cls token, and head variants.
 
-Reversible mode (MVIT.REV.ENABLE): the reference implements a custom
-two-stream autograd (``models/reversible_mvit.py``) to get O(1) activation
-memory. On TPU the same memory profile comes from ``jax.remat`` over the
-two-stream structure: we keep the reversible two-stream computation
-(X1 += attn(X2); X2 += mlp(X1); lateral fusion at stage transitions) so
-checkpoints/weights are layout-compatible, and rematerialize instead of
-hand-rolling the inverse pass (SURVEY.md §5 long-context notes).
+Reversible mode (MVIT.REV.ENABLE): true O(1)-activation-memory reversible
+backprop, the TPU equivalent of the reference's hand-rolled two-stream
+autograd (``models/reversible_mvit.py:183-696``). Each uniform segment
+(consecutive blocks with no dim change / Q pooling) is split into
+attention (F) and MLP (G) sub-blocks coupled as ``Y1 = X1 + F(X2);
+Y2 = X2 + G(Y1)`` (the reference's ReversibleBlock form, :279-382) and run
+under ``parallel.reversible.reversible_block_scan`` — a custom-VJP
+``lax.scan`` whose backward reconstructs block inputs by inversion instead
+of storing them. Stage-transition blocks fuse the streams and run a
+rematerialized full MultiScaleBlock (the reference's
+StageTransitionBlock, :385-443). ``MVIT.REV.O1_SCAN=False`` runs the same
+coupling with plain autodiff (O(depth) memory) — the gradient-parity
+oracle for the custom VJP.
 """
 
 from __future__ import annotations
@@ -24,14 +30,19 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from advise_tpu.models.layers.attention import MultiScaleBlock, trunc02
-from advise_tpu.models.layers.common import TwoStreamFusion
+from advise_tpu.models.layers.attention import (
+    MultiScaleAttention,
+    MultiScaleBlock,
+    trunc02,
+)
+from advise_tpu.models.layers.common import Mlp, TwoStreamFusion
 from advise_tpu.models.layers.heads import TransformerBasicHead
 from advise_tpu.models.layers.stem import PatchEmbed
 from advise_tpu.models.utils import (
     get_3d_sincos_pos_embed,
     round_width,
 )
+from advise_tpu.parallel.reversible import reversible_block_scan
 
 
 def mvit_block_schedule(cfg, patch_dims=None):
@@ -135,6 +146,142 @@ def _pooled_thw(thw, kernel, stride):
     )
 
 
+def _seg_sub_modules(cfg, spec, dtype):
+    """Construct the (unbound) F/G sub-block modules for a uniform
+    segment's spec."""
+    attn_sub = RevAttnSub(
+        dim=spec["dim"],
+        num_heads=spec["num_heads"],
+        input_size=tuple(spec["input_size"]),
+        qkv_bias=cfg.MVIT.QKV_BIAS,
+        drop_rate=cfg.MVIT.DROPOUT_RATE,
+        kernel_q=tuple(spec["kernel_q"]),
+        kernel_kv=tuple(spec["kernel_kv"]),
+        stride_q=tuple(spec["stride_q"]),
+        stride_kv=tuple(spec["stride_kv"]),
+        mode=cfg.MVIT.MODE,
+        pool_first=cfg.MVIT.POOL_FIRST,
+        rel_pos_spatial=cfg.MVIT.REL_POS_SPATIAL,
+        rel_pos_temporal=cfg.MVIT.REL_POS_TEMPORAL,
+        rel_pos_zero_init=cfg.MVIT.REL_POS_ZERO_INIT,
+        residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
+        separate_qkv=cfg.MVIT.SEPARATE_QKV,
+        layer_scale_init_value=cfg.MVIT.LAYER_SCALE_INIT_VALUE,
+        dtype=dtype,
+        parent=None,
+    )
+    mlp_sub = RevMlpSub(
+        dim=spec["dim"],
+        mlp_ratio=cfg.MVIT.MLP_RATIO,
+        drop_rate=cfg.MVIT.DROPOUT_RATE,
+        layer_scale_init_value=cfg.MVIT.LAYER_SCALE_INIT_VALUE,
+        dtype=dtype,
+        parent=None,
+    )
+    return attn_sub, mlp_sub
+
+
+def _drop_path_fn(res, rate, key, train: bool):
+    """Functional stochastic depth: randomness comes from an explicit key
+    (carried in the reversible scan's per-block params) so the backward
+    reconstruction recomputes bit-identical values — the JAX analogue of
+    the reference's seed save/restore (reversible_mvit.py:300-330)."""
+    if not train:
+        return res
+    keep = 1.0 - rate
+    shape = (res.shape[0],) + (1,) * (res.ndim - 1)
+    mask = jax.random.bernoulli(key, p=keep, shape=shape)
+    return jnp.where(mask, res / jnp.maximum(keep, 1e-8), 0.0).astype(res.dtype)
+
+
+class RevAttnSub(nn.Module):
+    """F sub-block of the reversible coupling: norm1 + pooled attention
+    (reference reversible_mvit.py AttentionSubBlock :446-519). Uniform
+    segments only: dim_out == dim, no Q pooling."""
+
+    dim: int
+    num_heads: int
+    input_size: Tuple[int, int, int]
+    qkv_bias: bool
+    drop_rate: float
+    kernel_q: Tuple[int, ...]
+    kernel_kv: Tuple[int, ...]
+    stride_q: Tuple[int, ...]
+    stride_kv: Tuple[int, ...]
+    mode: str
+    pool_first: bool
+    rel_pos_spatial: bool
+    rel_pos_temporal: bool
+    rel_pos_zero_init: bool
+    residual_pooling: bool
+    separate_qkv: bool
+    layer_scale_init_value: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        xn = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        xb, _ = MultiScaleAttention(
+            dim_out=self.dim,
+            num_heads=self.num_heads,
+            input_size=tuple(self.input_size),
+            qkv_bias=self.qkv_bias,
+            drop_rate=self.drop_rate,
+            kernel_q=tuple(self.kernel_q),
+            kernel_kv=tuple(self.kernel_kv),
+            stride_q=tuple(self.stride_q),
+            stride_kv=tuple(self.stride_kv),
+            has_cls_embed=False,
+            mode=self.mode,
+            pool_first=self.pool_first,
+            rel_pos_spatial=self.rel_pos_spatial,
+            rel_pos_temporal=self.rel_pos_temporal,
+            rel_pos_zero_init=self.rel_pos_zero_init,
+            residual_pooling=self.residual_pooling,
+            separate_qkv=self.separate_qkv,
+            dtype=self.dtype,
+            name="attn",
+        )(xn, tuple(self.input_size), deterministic)
+        if self.layer_scale_init_value > 0:
+            gamma = self.param(
+                "gamma_1",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,),
+            )
+            xb = gamma * xb
+        return xb
+
+
+class RevMlpSub(nn.Module):
+    """G sub-block of the reversible coupling: norm2 + MLP (reference
+    reversible_mvit.py MLPSubblock :522-560)."""
+
+    dim: int
+    mlp_ratio: float
+    drop_rate: float
+    layer_scale_init_value: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        xn = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        xm = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio),
+            out_features=self.dim,
+            drop_rate=self.drop_rate,
+            dtype=self.dtype,
+            name="mlp",
+        )(xn, deterministic)
+        if self.layer_scale_init_value > 0:
+            gamma = self.param(
+                "gamma_2",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,),
+            )
+            xm = gamma * xm
+        return xm
+
+
 class MViT(nn.Module):
     cfg: Any  # CfgRef
     norm: Any  # unused (transformer uses LayerNorm) — kept for registry ABI
@@ -143,6 +290,68 @@ class MViT(nn.Module):
     # masked-pretrain hooks (used by MaskMViT)
     depth_override: Optional[int] = None
     return_intermediate: Tuple[int, ...] = ()
+
+    def _rev_segment(self, spec, seg_id, seg_len, rates, x1, x2, train):
+        """Run one uniform reversible segment of ``seg_len`` F/G-coupled
+        blocks. Params are stacked on axis 0 (one slice per block) so the
+        whole segment is a single scanned program; with MVIT.REV.O1_SCAN
+        the scan's custom VJP keeps activation memory O(1) in depth."""
+        cfg = self.cfg
+        attn_sub, mlp_sub = _seg_sub_modules(cfg, spec, self.dtype)
+        sample = jnp.zeros((1,) + x1.shape[1:], x1.dtype)
+
+        def stack_init(module):
+            def init(key):
+                keys = jax.random.split(key, seg_len)
+                return jax.vmap(
+                    lambda k: module.init(
+                        {"params": k, "dropout": jax.random.fold_in(k, 1)},
+                        sample,
+                        True,
+                    )["params"]
+                )(keys)
+
+            return init
+
+        f_stack = self.param(f"rev_seg{seg_id}_f", stack_init(attn_sub))
+        g_stack = self.param(f"rev_seg{seg_id}_g", stack_init(mlp_sub))
+        if train:
+            keys = jax.random.split(self.make_rng("dropout"), seg_len)
+        else:
+            keys = jax.random.split(jax.random.PRNGKey(0), seg_len)
+        p_stack = {
+            "f": f_stack,
+            "g": g_stack,
+            "rate": jnp.asarray(rates, jnp.float32),
+        }
+        c_stack = {"key": keys}
+
+        def f_fn(p, c, xx):
+            k_drop, k_path = jax.random.split(jax.random.fold_in(c["key"], 0))
+            out = attn_sub.apply(
+                {"params": p["f"]}, xx, not train,
+                rngs={"dropout": k_drop} if train else None,
+            )
+            return _drop_path_fn(out, p["rate"], k_path, train)
+
+        def g_fn(p, c, xx):
+            k_drop, k_path = jax.random.split(jax.random.fold_in(c["key"], 1))
+            out = mlp_sub.apply(
+                {"params": p["g"]}, xx, not train,
+                rngs={"dropout": k_drop} if train else None,
+            )
+            return _drop_path_fn(out, p["rate"], k_path, train)
+
+        if cfg.MVIT.REV.O1_SCAN:
+            return reversible_block_scan(f_fn, g_fn, p_stack, c_stack, x1, x2)
+        # plain-autodiff oracle path: identical math, O(depth) memory
+        for k in range(seg_len):
+            p_k = jax.tree_util.tree_map(lambda a: a[k], p_stack)
+            c_k = jax.tree_util.tree_map(lambda a: a[k], c_stack)
+            y1 = x1 + f_fn(p_k, c_k, x2)
+            y2 = x2 + g_fn(p_k, c_k, y1)
+            x1, x2 = y1, y2
+        return x1, x2
 
     @nn.compact
     def __call__(
@@ -235,55 +444,61 @@ class MViT(nn.Module):
 
         intermediates = []
         if rev:
-            # two-stream reversible (reference reversible_mvit.py structure;
-            # memory via remat on TPU). cls token unsupported, as reference.
+            # two-stream reversible with true O(1) backward (module
+            # docstring). cls token unsupported, as reference.
             assert not cls_on, "reversible MViT requires CLS_EMBED_ON=False"
             x1, x2 = x, x
-            for i, spec in enumerate(schedule):
-                stage_transition = spec["dim"] != spec["dim_out"] or (
-                    len(spec["stride_q"]) > 0 and math.prod(spec["stride_q"]) > 1
+            i = 0
+            seg_id = 0
+            while i < len(schedule):
+                spec = schedule[i]
+                uniform = spec["dim"] == spec["dim_out"] and (
+                    len(spec["stride_q"]) == 0
+                    or math.prod(spec["stride_q"]) == 1
                 )
-                blk = block_cls(
-                    **{k: tuple(v) if isinstance(v, list) else v
-                       for k, v in spec.items()},
-                    mlp_ratio=cfg.MVIT.MLP_RATIO,
-                    qkv_bias=cfg.MVIT.QKV_BIAS,
-                    drop_rate=cfg.MVIT.DROPOUT_RATE,
-                    drop_path=float(dpr[i]),
-                    layer_scale_init_value=cfg.MVIT.LAYER_SCALE_INIT_VALUE,
-                    mode=cfg.MVIT.MODE,
-                    has_cls_embed=False,
-                    pool_first=cfg.MVIT.POOL_FIRST,
-                    rel_pos_spatial=cfg.MVIT.REL_POS_SPATIAL,
-                    rel_pos_temporal=cfg.MVIT.REL_POS_TEMPORAL,
-                    rel_pos_zero_init=cfg.MVIT.REL_POS_ZERO_INIT,
-                    residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
-                    dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
-                    separate_qkv=cfg.MVIT.SEPARATE_QKV,
-                    dtype=self.dtype,
-                    name=f"blocks_{i}",
-                )
-                # track the token grid on the python side: a remat'd
-                # block returns thw as traced values
-                next_thw = _pooled_thw(thw, spec["kernel_q"], spec["stride_q"])
-                if stage_transition:
-                    # StageTransitionBlock: fuse streams, run block, re-split
+                if not uniform:
+                    # StageTransitionBlock: fuse streams, run a (remat'd)
+                    # full block, re-split (reference :385-443)
+                    blk = block_cls(
+                        **{k: tuple(v) if isinstance(v, list) else v
+                           for k, v in spec.items()},
+                        mlp_ratio=cfg.MVIT.MLP_RATIO,
+                        qkv_bias=cfg.MVIT.QKV_BIAS,
+                        drop_rate=cfg.MVIT.DROPOUT_RATE,
+                        drop_path=float(dpr[i]),
+                        layer_scale_init_value=cfg.MVIT.LAYER_SCALE_INIT_VALUE,
+                        mode=cfg.MVIT.MODE,
+                        has_cls_embed=False,
+                        pool_first=cfg.MVIT.POOL_FIRST,
+                        rel_pos_spatial=cfg.MVIT.REL_POS_SPATIAL,
+                        rel_pos_temporal=cfg.MVIT.REL_POS_TEMPORAL,
+                        rel_pos_zero_init=cfg.MVIT.REL_POS_ZERO_INIT,
+                        residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
+                        dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
+                        separate_qkv=cfg.MVIT.SEPARATE_QKV,
+                        dtype=self.dtype,
+                        name=f"blocks_{i}",
+                    )
                     fused = (x1 + x2) / 2.0
                     out, _ = blk(fused, thw, not train)
                     x1 = x2 = out
-                else:
-                    delta, _ = blk(x2, thw, not train)
-                    x1 = x1 + delta
-                    x1, x2 = x2, x1
-                thw = next_thw
+                    thw = _pooled_thw(thw, spec["kernel_q"], spec["stride_q"])
+                    i += 1
+                    continue
+
+                # uniform segment: group all consecutive identical specs
+                j = i
+                while j < len(schedule) and schedule[j] == spec:
+                    j += 1
+                x1, x2 = self._rev_segment(
+                    spec, seg_id, j - i, dpr[i:j], x1, x2, train
+                )
+                seg_id += 1
+                i = j
             x = jnp.concatenate([x1, x2], axis=-1)
             x = TwoStreamFusion(
                 mode=cfg.MVIT.REV.RESPATH_FUSE, name="fuse"
             )(x)
-            if "concat" in cfg.MVIT.REV.RESPATH_FUSE:
-                final_norm_dim = 2 * final_dim
-            else:
-                final_norm_dim = final_dim
             x = jnp.mean(x, axis=1)
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         else:

@@ -24,6 +24,7 @@ from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def reversible_scan(
@@ -35,6 +36,92 @@ def reversible_scan(
     """Run the reversible coupling over all blocks in ``params_stack``
     (leaves stacked on axis 0). Differentiable with O(1) residuals."""
     return _rev_scan(f)(params_stack, x1, x2)
+
+
+def reversible_block_scan(
+    f: Callable[[Any, Any, jnp.ndarray], jnp.ndarray],
+    g: Callable[[Any, Any, jnp.ndarray], jnp.ndarray],
+    params_stack: Any,
+    consts_stack: Any,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-function reversible coupling per block (the reference's
+    ReversibleBlock form, reversible_mvit.py:279-382):
+
+        forward :  y1 = x1 + f(p, c, x2) ;  y2 = x2 + g(p, c, y1)
+        inverse :  x2 = y2 - g(p, c, y1) ;  x1 = y1 - f(p, c, x2)
+
+    ``f`` is the attention sub-block, ``g`` the MLP sub-block; ``p``/``c``
+    are one slice each of ``params_stack`` (differentiated) and
+    ``consts_stack`` (NOT differentiated: rng keys, indices — put integer
+    leaves here), both with leaves stacked on axis 0, one per block.
+    Stochastic layers MUST derive their randomness from ``c`` so the
+    backward reconstruction recomputes bit-identical values. Activation
+    memory is O(1) in depth.
+    """
+    return _rev_block_scan(f, g)(params_stack, consts_stack, x1, x2)
+
+
+def _rev_block_scan(f, g):
+    @jax.custom_vjp
+    def run(params_stack, consts_stack, x1, x2):
+        def body(carry, pc):
+            p, c = pc
+            a, b = carry
+            y1 = a + f(p, c, b)
+            y2 = b + g(p, c, y1)
+            return (y1, y2), None
+
+        (y1, y2), _ = jax.lax.scan(
+            body, (x1, x2), (params_stack, consts_stack)
+        )
+        return y1, y2
+
+    def fwd(params_stack, consts_stack, x1, x2):
+        out = run(params_stack, consts_stack, x1, x2)
+        return out, (params_stack, consts_stack, out)
+
+    def bwd(res, cotangents):
+        params_stack, consts_stack, (y1, y2) = res
+        gy1, gy2 = cotangents
+
+        def body(carry, pc):
+            p, c = pc
+            (y1c, y2c), (g1, g2) = carry
+            # invert: x2 = y2 - g(p, c, y1) ; x1 = y1 - f(p, c, x2)
+            g_val, g_vjp = jax.vjp(lambda pp, yy: g(pp, c, yy), p, y1c)
+            x2 = y2c - g_val
+            f_val, f_vjp = jax.vjp(lambda pp, xx: f(pp, c, xx), p, x2)
+            x1 = y1c - f_val
+            # pullback through y2 = x2 + g(p, c, y1):
+            gp_g, gy1_extra = g_vjp(g2)
+            g1_total = g1 + gy1_extra
+            # pullback through y1 = x1 + f(p, c, x2):
+            gp_f, gx2_extra = f_vjp(g1_total)
+            gx1 = g1_total
+            gx2 = g2 + gx2_extra
+            gp = jax.tree_util.tree_map(jnp.add, gp_g, gp_f)
+            return ((x1, x2), (gx1, gx2)), gp
+
+        rev = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.flip(x, axis=0), t
+        )
+        ((x1r, x2r), (g1r, g2r)), gps_rev = jax.lax.scan(
+            body, ((y1, y2), (gy1, gy2)), (rev(params_stack), rev(consts_stack))
+        )
+        gparams = rev(gps_rev)
+        # consts are non-differentiable by contract: symbolic-zero cotangent
+        gconsts = jax.tree_util.tree_map(
+            lambda x: np.zeros(x.shape, jax.dtypes.float0)
+            if not jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.zeros_like(x),
+            consts_stack,
+        )
+        return gparams, gconsts, g1r, g2r
+
+    run.defvjp(fwd, bwd)
+    return run
 
 
 def _rev_scan(f):

@@ -182,3 +182,102 @@ def test_maskmvit_variants(variant):
         for p, l, mk, w in zip(preds, labels, masks, weights)
     )
     assert np.isfinite(float(loss))
+
+
+def test_mvit_rev_o1_scan_gradient_parity_deep():
+    """The O(1) custom-VJP reversible path must produce the same loss and
+    gradients as the identical coupling under plain autodiff (same stacked
+    params, same rng keys), on a deep config with two stage transitions."""
+    cfg = _mvit_cfg(**{
+        "MVIT.REV.ENABLE": True,
+        "MVIT.CLS_EMBED_ON": False,
+        "MVIT.DEPTH": 10,
+        "MVIT.DIM_MUL": [[2, 2.0], [6, 2.0]],
+        "MVIT.HEAD_MUL": [[2, 2.0], [6, 2.0]],
+        "MVIT.POOL_Q_STRIDE": [[2, 1, 2, 2], [6, 1, 2, 2]],
+        "MVIT.DROPPATH_RATE": 0.1,
+    })
+    from advise_tpu.config.node import CfgRef
+    from advise_tpu.models.mvit import MViT
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 4, 32, 32, 3)).astype(np.float32)
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+
+    def build(o1):
+        cfg.MVIT.REV.O1_SCAN = o1
+        return MViT(cfg=CfgRef(cfg), norm=None)
+
+    m_scan = build(True)
+    v = jax.jit(lambda: m_scan.init(rngs, x, train=False))()
+
+    def loss(model, params):
+        out = model.apply(
+            {"params": params}, x, train=True,
+            rngs={"dropout": jax.random.PRNGKey(7)},
+        )
+        return jnp.sum(out**2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(build(True), p))(v["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(build(False), p))(v["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+        )
+    # the deep uniform segments actually became stacked reversible params
+    seg_keys = [k for k in v["params"] if k.startswith("rev_seg")]
+    assert seg_keys, list(v["params"])
+    seg_lens = [
+        jax.tree_util.tree_leaves(v["params"][k])[0].shape[0] for k in seg_keys
+    ]
+    assert max(seg_lens) >= 2, seg_lens  # >=2 blocks stacked in a segment
+
+
+@pytest.mark.slow
+def test_mvit_rev_o1_scan_memory_win():
+    """XLA memory analysis: the reversible scan's backward must allocate a
+    small fraction of the plain-autodiff coupling's temp memory (O(1) vs
+    O(depth) activations). Measured r2: 423MB vs 4.76GB at depth16/32f."""
+    from advise_tpu.config.node import CfgRef
+    from advise_tpu.models.mvit import MViT
+
+    def make(o1):
+        cfg = get_cfg()
+        cfg.MODEL.MODEL_NAME = "MViT"
+        cfg.MODEL.NUM_CLASSES = 4
+        cfg.MVIT.EMBED_DIM = 32
+        cfg.MVIT.NUM_HEADS = 2
+        cfg.MVIT.DEPTH = 12
+        cfg.MVIT.CLS_EMBED_ON = False
+        cfg.MVIT.REV.ENABLE = True
+        cfg.MVIT.REV.O1_SCAN = o1
+        cfg.DATA.NUM_FRAMES = 16
+        cfg.DATA.TRAIN_CROP_SIZE = 48
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        return MViT(cfg=CfgRef(assert_and_infer_cfg(cfg)), norm=None)
+
+    x = jnp.zeros((1, 16, 48, 48, 3), jnp.float32)
+    m = make(True)
+    v = jax.eval_shape(lambda: m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False,
+    ))
+    v = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), v)
+
+    def temp_bytes(o1):
+        mm = make(o1)
+
+        def loss(p):
+            out = mm.apply(
+                {"params": p}, x, train=True,
+                rngs={"dropout": jax.random.PRNGKey(7)},
+            )
+            return jnp.sum(out**2)
+
+        ma = jax.jit(jax.grad(loss)).lower(v["params"]).compile().memory_analysis()
+        return ma.temp_size_in_bytes
+
+    scan_b, loop_b = temp_bytes(True), temp_bytes(False)
+    assert scan_b < 0.25 * loop_b, (scan_b, loop_b)
