@@ -154,6 +154,9 @@ _C.TRAIN.SAVE_FREQ = 5
 _C.TRAIN.AMP = False
 _C.TRAIN.SEED = 0
 _C.TRAIN.RESUME = None
+# fsspec URL mirror for checkpoints (the reference's s3:// smart_open
+# checkpointing, utils/misc.py:311-349); e.g. gs://bucket/run1, memory://ck
+_C.TRAIN.CHECKPOINT_REMOTE = None
 _C.TRAIN.AUTO_RESUME = False
 _C.TRAIN.SEQUENTIAL = False
 # Restored: global batch size (reference models/contrastive.py:810 reads it).

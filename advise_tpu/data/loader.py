@@ -31,6 +31,38 @@ import numpy as np
 from advise_tpu.data.dataset import ClipDataset
 
 
+def threaded_items(
+    dataset,
+    n_items: int,
+    seed_stream,
+    num_workers: int = 8,
+    lookahead: int = 32,
+) -> Iterator[Tuple[int, Tuple[np.ndarray, Dict[str, np.ndarray]]]]:
+    """Ordered threaded fetch of ``dataset.get(idx, rng)`` for
+    idx in range(n_items) — the eval-phase counterpart of ClipLoader's
+    decode pool (validation/inference previously decoded serially on the
+    calling thread and were input-bound). ``seed_stream(idx)`` returns the
+    per-item SeedSequence entropy list; determinism is identical to the
+    serial loop."""
+
+    def fetch(idx):
+        rng = np.random.default_rng(np.random.SeedSequence(seed_stream(idx)))
+        return dataset.get(idx, rng)
+
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        inflight = {}
+        horizon = min(n_items, max(lookahead, 1))
+        for i in range(horizon):
+            inflight[i] = pool.submit(fetch, i)
+        next_submit = horizon
+        for i in range(n_items):
+            out = inflight.pop(i).result()
+            if next_submit < n_items:
+                inflight[next_submit] = pool.submit(fetch, next_submit)
+                next_submit += 1
+            yield i, out
+
+
 def _collate(samples) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     clips = np.stack([s[0] for s in samples])
     keys = samples[0][1].keys()

@@ -205,7 +205,14 @@ class SyntheticReader(VideoReader):
 
 def open_video(path: str, backend: str = "auto") -> VideoReader:
     """Open a video file with the right backend (reference ``read_data``,
-    ``video_dataset.py:13-34``)."""
+    ``video_dataset.py:13-34``). Remote URLs (s3://, gs://, memory://...)
+    are fetched through fsspec into a local cache first (the reference
+    streams via megfile smart_open, video_dataset.py:30-34; cv2 needs a
+    real file)."""
+    from advise_tpu.utils.storage import fetch_local, is_remote
+
+    if is_remote(path):
+        path = fetch_local(path)
     ext = os.path.splitext(path)[1].lower()
     if backend == "auto":
         backend = "tensor" if ext in (".npy", ".npz", ".pt") else "cv2"

@@ -59,6 +59,9 @@ class CheckpointManager:
         self.dir = os.path.abspath(os.path.join(cfg.LOGDIR, "checkpoints"))
         self.save_freq = cfg.TRAIN.SAVE_FREQ
         self.criteria_fn = criteria_fn or default_criteria
+        # remote mirror (the reference's s3:// checkpointing through
+        # smart_open, utils/misc.py:311-349) — fsspec URL or None
+        self.remote = getattr(cfg.TRAIN, "CHECKPOINT_REMOTE", None) or None
         self._ckptr = ocp.StandardCheckpointer()
         if jax.process_index() == 0:
             os.makedirs(self.dir, exist_ok=True)
@@ -101,17 +104,43 @@ class CheckpointManager:
         self._ckptr.save(path, state)
         self._ckptr.wait_until_finished()
         np.save(path + ".meta.npy", np.array([meta], dtype=object))
+        if self.remote:
+            from advise_tpu.utils import storage
+
+            name = os.path.basename(path)
+            storage.put_dir(path, storage.join(self.remote, name))
+            with storage.smart_open(
+                storage.join(self.remote, name + ".meta.npy"), "wb"
+            ) as f, open(path + ".meta.npy", "rb") as src:
+                f.write(src.read())
+            logger.info("checkpoint mirrored to %s", self.remote)
 
     def get_last_checkpoint(self) -> Optional[Tuple[str, int]]:
-        """Newest Model_Epoch_* (reference misc.py:258-278)."""
-        if not os.path.isdir(self.dir):
-            return None
+        """Newest Model_Epoch_* (reference misc.py:258-278); falls back to
+        the remote mirror (fetching it locally) when the local dir is
+        empty — the cold-restart recovery path."""
         best_ep, best_path = -1, None
-        for name in os.listdir(self.dir):
-            m = re.fullmatch(r"Model_Epoch_(\d{4})", name)
-            if m and int(m.group(1)) > best_ep:
-                best_ep, best_path = int(m.group(1)), self._path(name)
-        return (best_path, best_ep) if best_path else None
+        if os.path.isdir(self.dir):
+            for name in os.listdir(self.dir):
+                m = re.fullmatch(r"Model_Epoch_(\d{4})", name)
+                if m and int(m.group(1)) > best_ep:
+                    best_ep, best_path = int(m.group(1)), self._path(name)
+        if best_path is None and self.remote:
+            from advise_tpu.utils import storage
+
+            if storage.smart_exists(self.remote):
+                for name in storage.smart_listdir(self.remote):
+                    m = re.fullmatch(r"Model_Epoch_(\d{4})", name)
+                    if m and int(m.group(1)) > best_ep:
+                        best_ep, best_path = int(m.group(1)), name
+                if best_path is not None:
+                    local = self._path(best_path)
+                    storage.get_dir(
+                        storage.join(self.remote, best_path), local
+                    )
+                    logger.info("checkpoint fetched from remote: %s", local)
+                    best_path = local
+        return (best_path, best_ep) if best_path is not None else None
 
     def restore(self, path: str, target):
         """Restore a state pytree of the same structure as `target`."""
@@ -146,6 +175,16 @@ def load_pretrained(path: str, state, drop_substr: Tuple[str, ...] = ("head",)):
 
     Returns (new_state, loaded_keys, skipped_keys).
     """
+    from advise_tpu.utils import storage
+
+    if storage.is_remote(path):
+        import tempfile
+
+        local = os.path.join(
+            tempfile.mkdtemp(prefix="advise_ckpt_"), "pretrain"
+        )
+        storage.get_dir(path, local)
+        path = local
     ckptr = ocp.StandardCheckpointer()
     raw = ckptr.restore(path)
     loaded, skipped = [], []

@@ -73,12 +73,13 @@ def inference(cfg, model, state, mesh=None, max_videos: Optional[int] = None):
             correct += int(p == lbl)
         buf_clips, buf_labels = [], []
 
-    for idx in range(n_items):
-        rng = np.random.default_rng(
-            np.random.SeedSequence([cfg.INFER.SEED, 1, idx])
-        )
-        clips, infos = dataset.get(idx, rng)  # [views, T, H, W, C]
-        buf_clips.append(clips)
+    from advise_tpu.data.loader import threaded_items
+
+    for _, (clips, infos) in threaded_items(
+        dataset, n_items, lambda idx: [cfg.INFER.SEED, 1, idx],
+        num_workers=cfg.DATA.WORKERS,
+    ):
+        buf_clips.append(clips)  # [views, T, H, W, C]
         buf_labels.append(int(infos["cls_id"]))
         if len(buf_clips) == vids_per_batch:
             flush()

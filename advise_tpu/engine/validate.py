@@ -61,11 +61,12 @@ def validation(cfg, model, state, mesh=None, max_videos: Optional[int] = None):
             for t, p in zip(labels, preds):
                 confusion[int(t), int(p)] += 1
 
-    for idx in range(n_items):
-        item_rng = np.random.default_rng(
-            np.random.SeedSequence([cfg.INFER.SEED, 0, idx])
-        )
-        clips, infos = dataset.get(idx, item_rng)
+    from advise_tpu.data.loader import threaded_items
+
+    for _, (clips, infos) in threaded_items(
+        dataset, n_items, lambda idx: [cfg.INFER.SEED, 0, idx],
+        num_workers=cfg.DATA.WORKERS,
+    ):
         for c, lbl in zip(clips, infos["spd_label"]):
             pending_clips.append(c)
             pending_labels.append(int(lbl))

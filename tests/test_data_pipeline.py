@@ -215,3 +215,28 @@ def test_rrc_aug_shapes():
     batch = np.random.default_rng(0).integers(0, 256, (1, 4, 4, h, w, 3), np.uint8)
     out = jax.jit(aug)(jnp.asarray(batch), jax.random.PRNGKey(0))
     assert out.shape == (1, 4, 4, 224, 224, 3)
+
+
+def test_threaded_items_matches_serial_order_and_seeding():
+    """Eval-phase threaded prefetch must be bit-identical to the serial
+    dataset.get loop (same per-item SeedSequence, same order)."""
+    import numpy as np
+
+    from advise_tpu.data.loader import threaded_items
+
+    class FakeDataset:
+        def get(self, idx, rng):
+            return np.full((2, 2), idx) + rng.integers(0, 1000), {"i": idx}
+
+    ds = FakeDataset()
+    serial = []
+    for idx in range(17):
+        rng = np.random.default_rng(np.random.SeedSequence([5, 0, idx]))
+        serial.append(ds.get(idx, rng))
+    threaded = list(
+        threaded_items(ds, 17, lambda i: [5, 0, i], num_workers=4, lookahead=3)
+    )
+    assert [i for i, _ in threaded] == list(range(17))
+    for (clips_s, infos_s), (_, (clips_t, infos_t)) in zip(serial, threaded):
+        np.testing.assert_array_equal(clips_s, clips_t)
+        assert infos_s == infos_t
