@@ -48,6 +48,10 @@ _C.TPU = CfgNode()
 # the total device count. -1 means infer from jax.device_count().
 _C.TPU.MESH_DATA = -1
 _C.TPU.MESH_SYNC = 1
+# sequence-parallel axis size (>1 adds a 'seq' mesh axis: eligible MViT
+# attention blocks shard tokens and run ring attention over it — the
+# pod-scale long-clip path, BASELINE.json config #5)
+_C.TPU.MESH_SEQ = 1
 
 # Run augmentation on device (fused XLA/Pallas kernels over batched uint8
 # frames) instead of per-frame PIL on the host.
@@ -395,6 +399,10 @@ _C.MASK.PRED_HOG_CELL_SZ = 8
 # Masking ratio / block geometry for the pretrain mask generator.
 _C.MASK.MASK_RATIO = 0.75
 _C.MASK.MAX_MASK_PATCHES_PER_BLOCK = None
+# joint contrastive+masked pretrain (BASELINE.json config #5): adds an
+# NT-Xent term between the two views' pooled projections to the masked loss
+_C.MASK.JOINT_CONTRASTIVE = False
+_C.MASK.JOINT_WEIGHT = 0.5
 
 # -----------------------------------------------------------------------------
 # Mask visualization (restored; reference models/masked.py reads
@@ -506,6 +514,11 @@ _C.MVIT.SEPARATE_QKV = False
 _C.MVIT.HEAD_INIT_SCALE = 1.0
 _C.MVIT.USE_MEAN_POOLING = False
 _C.MVIT.USE_FIXED_SINCOS_POS = False
+# TPU-only: shard attention tokens over the 'seq' mesh axis (ring
+# attention) for blocks whose token count is >= SEQ_SHARD_MIN_TOKENS;
+# requires CLS_EMBED_ON=False and no rel-pos. Needs TPU.MESH_SEQ > 1.
+_C.MVIT.SEQ_SHARD = False
+_C.MVIT.SEQ_SHARD_MIN_TOKENS = 4096
 
 # Reversible MViT (restored — reference models/reversible_mvit.py needs
 # cfg.MVIT.REV.* which the fork dropped).

@@ -82,7 +82,9 @@ def action_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=T
 def masked_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=True):
     """Masked prediction (MAE/MaskFeat): weighted masked MSE over the
     pretrain depths (reference MultipleMSELoss applied to MaskMViT
-    outputs)."""
+    outputs). With MASK.JOINT_CONTRASTIVE (config #5 groundwork, no
+    reference equivalent) an NT-Xent term between the two views' pooled
+    projections — negatives gathered across the mesh — joins the loss."""
     from advise_tpu.models.masked import masked_mse
 
     b, k = clips.shape[:2]
@@ -97,11 +99,43 @@ def masked_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=T
     else:
         out = model.apply(variables, x, train=False, rngs=rngs)
         new_bs = batch_stats
-    preds, labels, masks, weights = out
+    joint = cfg.MASK.JOINT_CONTRASTIVE
+    if joint:
+        preds, labels, masks, weights, proj = out
+    else:
+        preds, labels, masks, weights = out
     loss = 0.0
     for p, l, m, w in zip(preds, labels, masks, weights):
         loss = loss + w * masked_mse(p, l, m)
-    return loss, (new_bs, {"loss_mask": loss})
+    stats = {"loss_mask": loss}
+    if joint:
+        assert k >= 2, "MASK.JOINT_CONTRASTIVE needs DATA.NUM_CLIP >= 2"
+        from advise_tpu.engine.contrastive import l2_normalize
+        from advise_tpu.parallel.collectives import all_gather_cat
+
+        proj_bk = proj.reshape(b, k, -1)
+        q1 = l2_normalize(proj_bk[:, 0].astype(jnp.float32))
+        q2 = l2_normalize(proj_bk[:, 1].astype(jnp.float32))
+        if train:
+            q1g = all_gather_cat(q1, BATCH_AXES)
+            q2g = all_gather_cat(q2, BATCH_AXES)
+        else:
+            q1g, q2g = q1, q2
+        t = cfg.CONTRASTIVE.T
+        cat = jnp.concatenate([q1g, q2g], axis=0)  # [2B_g, dim]
+        sim = jnp.exp(cat @ cat.T / t)
+        mask_diag = 1.0 - jnp.eye(sim.shape[0], dtype=sim.dtype)
+        denom = jnp.sum(sim * mask_diag, axis=-1)
+        pos = jnp.exp(jnp.sum(q1g * q2g, axis=-1) / t)
+        pos = jnp.concatenate([pos, pos], axis=0)
+        loss_nce = (-jnp.log(pos / denom)).mean()
+        loss = loss + cfg.MASK.JOINT_WEIGHT * loss_nce
+        stats = {
+            "loss_mask": stats["loss_mask"],
+            "loss_nce": loss_nce,
+            "loss_total": loss,
+        }
+    return loss, (new_bs, stats)
 
 
 TASK_LOSSES: Dict[str, Callable] = {

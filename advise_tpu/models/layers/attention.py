@@ -136,6 +136,10 @@ class MultiScaleAttention(nn.Module):
     rel_pos_zero_init: bool = False
     residual_pooling: bool = False
     separate_qkv: bool = False
+    # sequence-parallel: mesh axis name to shard tokens over (ring
+    # attention). Only legal without cls token / rel-pos, inside shard_map
+    # over a mesh that carries this axis.
+    seq_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -225,6 +229,57 @@ class MultiScaleAttention(nn.Module):
             k = project(k, "k", math.prod(k_shape) + sp)
             v = project(v, "v", math.prod(v_shape) + sp)
 
+        use_ring = (
+            self.seq_axis is not None
+            and not self.rel_pos_spatial
+            and not self.rel_pos_temporal
+            and not self.has_cls_embed
+        )
+        if use_ring:
+            from jax import lax
+
+            from advise_tpu.parallel.ring_attention import ring_attention
+
+            try:
+                nseq = lax.axis_size(self.seq_axis)
+            except NameError:
+                # not tracing inside a mesh that carries the axis (e.g.
+                # out-of-mesh init twin): dense fallback
+                nseq = 0
+            nq, nk = q.shape[2], k.shape[2]
+            if nseq > 1 and nq % nseq == 0 and nk % nseq == 0:
+                # each 'seq' device takes its token slice, runs ring
+                # attention ([N/nseq, N/nseq] score blocks rotating K/V
+                # over ICI), then the output gathers back so the rest of
+                # the (batch-replicated-over-seq) program stays unchanged
+                my = lax.axis_index(self.seq_axis)
+                q_l = lax.dynamic_slice_in_dim(q, my * (nq // nseq), nq // nseq, 2)
+                k_l = lax.dynamic_slice_in_dim(k, my * (nk // nseq), nk // nseq, 2)
+                v_l = lax.dynamic_slice_in_dim(v, my * (nk // nseq), nk // nseq, 2)
+                out_l = ring_attention(q_l, k_l, v_l, self.seq_axis, scale)
+                out = lax.all_gather(out_l, self.seq_axis, axis=2, tiled=True)
+            else:
+                use_ring = False
+        if not use_ring:
+            out = self._dense_attention(
+                q, k, v, scale, stride_q, stride_kv, q_shape, k_shape
+            )
+
+        if self.residual_pooling:
+            if self.has_cls_embed:
+                out = out.at[:, :, 1:].add(q[:, :, 1:])
+            else:
+                out = out + q
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.dim_out)
+        out = dense(self.dim_out, name="proj")(out)
+        if self.drop_rate > 0.0:
+            out = nn.Dropout(self.drop_rate)(out, deterministic=deterministic)
+        return out, q_shape
+
+    def _dense_attention(self, q, k, v, scale, stride_q, stride_kv,
+                         q_shape, k_shape):
+        head_dim = self.dim_out // self.num_heads
         attn = jnp.einsum(
             "bhqc,bhkc->bhqk", q * scale, k, preferred_element_type=jnp.float32
         )
@@ -252,19 +307,7 @@ class MultiScaleAttention(nn.Module):
                 attn, q, self.has_cls_embed, q_shape, k_shape, rel_t
             )
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
-
-        if self.residual_pooling:
-            if self.has_cls_embed:
-                out = out.at[:, :, 1:].add(q[:, :, 1:])
-            else:
-                out = out + q
-
-        out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.dim_out)
-        out = dense(self.dim_out, name="proj")(out)
-        if self.drop_rate > 0.0:
-            out = nn.Dropout(self.drop_rate)(out, deterministic=deterministic)
-        return out, q_shape
+        return jnp.einsum("bhqk,bhkc->bhqc", attn, v)
 
 
 class MultiScaleBlock(nn.Module):
@@ -292,6 +335,7 @@ class MultiScaleBlock(nn.Module):
     residual_pooling: bool = False
     dim_mul_in_att: bool = False
     separate_qkv: bool = False
+    seq_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -322,6 +366,7 @@ class MultiScaleBlock(nn.Module):
             rel_pos_zero_init=self.rel_pos_zero_init,
             residual_pooling=self.residual_pooling,
             separate_qkv=self.separate_qkv,
+            seq_axis=self.seq_axis,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw, deterministic)

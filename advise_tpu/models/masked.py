@@ -229,6 +229,26 @@ class MaskMViT(nn.Module):
             labels.append(jax.lax.stop_gradient(label))
             masks.append(d_mask.reshape(imgs.shape[0], -1))
             weights.append(1.0 / len(pretrain_depth))
+        if cfg.MASK.JOINT_CONTRASTIVE:
+            # joint contrastive+masked pretrain (BASELINE.json config #5,
+            # no reference equivalent): pooled deepest feature -> projection
+            # MLP; the train step contrasts the two views' projections
+            from advise_tpu.models.layers.heads import MLPHead
+
+            feat, _ = inter[-1]
+            if cfg.MVIT.CLS_EMBED_ON:
+                feat = feat[:, 1:]
+            pooled = nn.LayerNorm(
+                epsilon=1e-6, dtype=self.dtype, name="joint_norm"
+            )(jnp.mean(feat, axis=1))
+            proj = MLPHead(
+                dim_out=cfg.CONTRASTIVE.DIM,
+                mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
+                num_layers=cfg.CONTRASTIVE.NUM_MLP_LAYERS,
+                dtype=self.dtype,
+                name="joint_proj",
+            )(pooled, train)
+            return preds, labels, masks, weights, proj
         return preds, labels, masks, weights
 
     # -- MAE ------------------------------------------------------------------

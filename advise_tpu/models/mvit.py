@@ -42,7 +42,21 @@ from advise_tpu.models.utils import (
     get_3d_sincos_pos_embed,
     round_width,
 )
+from advise_tpu.parallel.mesh import SEQ_AXIS
 from advise_tpu.parallel.reversible import reversible_block_scan
+
+
+def _block_seq_axis(cfg, spec):
+    """'seq' when this block is eligible for sequence-parallel ring
+    attention (MVIT.SEQ_SHARD groundwork for the pod-scale config #5):
+    token count over threshold, no cls token, no rel-pos."""
+    if not cfg.MVIT.SEQ_SHARD or cfg.MVIT.CLS_EMBED_ON:
+        return None
+    if cfg.MVIT.REL_POS_SPATIAL or cfg.MVIT.REL_POS_TEMPORAL:
+        return None
+    if math.prod(spec["input_size"]) < cfg.MVIT.SEQ_SHARD_MIN_TOKENS:
+        return None
+    return SEQ_AXIS
 
 
 def mvit_block_schedule(cfg, patch_dims=None):
@@ -167,6 +181,7 @@ def _seg_sub_modules(cfg, spec, dtype):
         residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
         separate_qkv=cfg.MVIT.SEPARATE_QKV,
         layer_scale_init_value=cfg.MVIT.LAYER_SCALE_INIT_VALUE,
+        seq_axis=_block_seq_axis(cfg, spec),
         dtype=dtype,
         parent=None,
     )
@@ -216,6 +231,7 @@ class RevAttnSub(nn.Module):
     residual_pooling: bool
     separate_qkv: bool
     layer_scale_init_value: float = 0.0
+    seq_axis: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -239,6 +255,7 @@ class RevAttnSub(nn.Module):
             rel_pos_zero_init=self.rel_pos_zero_init,
             residual_pooling=self.residual_pooling,
             separate_qkv=self.separate_qkv,
+            seq_axis=self.seq_axis,
             dtype=self.dtype,
             name="attn",
         )(xn, tuple(self.input_size), deterministic)
@@ -476,6 +493,7 @@ class MViT(nn.Module):
                         residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
                         dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
                         separate_qkv=cfg.MVIT.SEPARATE_QKV,
+                        seq_axis=_block_seq_axis(cfg, spec),
                         dtype=self.dtype,
                         name=f"blocks_{i}",
                     )
@@ -520,6 +538,7 @@ class MViT(nn.Module):
                     residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
                     dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
                     separate_qkv=cfg.MVIT.SEPARATE_QKV,
+                    seq_axis=_block_seq_axis(cfg, spec),
                     dtype=self.dtype,
                     name=f"blocks_{i}",
                 )

@@ -164,7 +164,7 @@ def fused_simple_aug(
         num_scalar_prefetch=8,
         grid=(n, t),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, size, size, 3),

@@ -31,6 +31,9 @@ logger = logging.getLogger(__name__)
 # Canonical mesh axis names.
 DATA_AXIS = "data"
 SYNC_AXIS = "sync"
+# Sequence-parallel axis (TPU.MESH_SEQ > 1): attention token dim shards
+# here via ring attention; batch is replicated along it.
+SEQ_AXIS = "seq"
 # Batch dimension is sharded over both axes (flattened).
 BATCH_AXES = (DATA_AXIS, SYNC_AXIS)
 
@@ -59,8 +62,14 @@ def distributed_init(cfg) -> None:
 
 
 def mesh_shape(cfg, n_devices: Optional[int] = None) -> Tuple[int, int]:
-    """Resolve (data, sync) axis sizes from cfg and the device count."""
+    """Resolve (data, sync) axis sizes from cfg and the device count.
+    When TPU.MESH_SEQ > 1, these cover n // seq devices (the seq axis is
+    carved off first in :func:`build_mesh`)."""
     n = n_devices if n_devices is not None else jax.device_count()
+    seq = max(int(getattr(cfg.TPU, "MESH_SEQ", 1) or 1), 1)
+    if seq > 1:
+        assert n % seq == 0, (n, seq)
+        n = n // seq
     if cfg.BN.GLOBAL_SYNC:
         sync = n
     else:
@@ -75,13 +84,23 @@ def mesh_shape(cfg, n_devices: Optional[int] = None) -> Tuple[int, int]:
 
 
 def build_mesh(cfg, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build the ('data', 'sync') mesh.
+    """Build the ('data', 'sync'[, 'seq']) mesh.
 
     Adjacent devices share a sync group, which on a TPU slice keeps BN-stat
-    psums on the shortest ICI paths.
+    psums on the shortest ICI paths; the innermost 'seq' ring (TPU.MESH_SEQ
+    > 1) keeps ring-attention ppermutes on directly-wired neighbors.
     """
     devs = np.asarray(devices if devices is not None else jax.devices())
     data, sync = mesh_shape(cfg, n_devices=devs.size)
+    seq = max(int(getattr(cfg.TPU, "MESH_SEQ", 1) or 1), 1)
+    if seq > 1:
+        logger.info(
+            "Mesh: data=%d sync=%d seq=%d over %d devices",
+            data, sync, seq, devs.size,
+        )
+        return Mesh(
+            devs.reshape(data, sync, seq), (DATA_AXIS, SYNC_AXIS, SEQ_AXIS)
+        )
     logger.info("Mesh: data=%d sync=%d over %d devices", data, sync, devs.size)
     return Mesh(devs.reshape(data, sync), (DATA_AXIS, SYNC_AXIS))
 
