@@ -133,6 +133,10 @@ _C.CONTRASTIVE.MOMENTUM_ANNEALING = False
 _C.CONTRASTIVE.TYPE = "mem"
 _C.CONTRASTIVE.INTERP_MEMORY = False
 _C.CONTRASTIVE.MEM_TYPE = "1d"
+# time slots per memory row for MEM_TYPE '2d' (the reference carries the
+# full 2D Memory machinery, contrastive.py:937-1040, but pins duration=1
+# at :48; exposed here so the time-indexed bank is actually reachable)
+_C.CONTRASTIVE.DURATION = 1
 _C.CONTRASTIVE.NUM_CLASSES_DOWNSTREAM = 400
 _C.CONTRASTIVE.NUM_MLP_LAYERS = 2
 _C.CONTRASTIVE.MLP_DIM = 2048

@@ -150,6 +150,12 @@ class ClipDataset:
         if stamps is None:
             return None
         k, t = stamps.shape
+        # normalized time of the first clip's start in [0,1] — the 2D
+        # memory bank's time slot (reference video forward's `time` input)
+        infos.setdefault(
+            "time_idx",
+            np.float32(stamps[0, 0] / max(video_length - 1, 1)),
+        )
         flat = stamps.reshape(-1)
         frames = reader.get_frames(flat, resize_wh=self.ingest_wh)
         clips = frames.reshape(k, t, *frames.shape[1:])  # [K,T,H,W,C] u8

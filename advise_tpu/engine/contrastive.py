@@ -70,7 +70,14 @@ def init_ssl_state(cfg, params, batch_stats, rng) -> Dict[str, Any]:
         )
         ssl["swav_started"] = jnp.zeros((), jnp.bool_)
     if ctype == "mem":
-        duration = 1
+        # MEM_TYPE '2d': time-indexed bank [length, duration, dim]
+        # (reference Memory :937-1040; the reference pins duration=1 at
+        # :48 — CONTRASTIVE.DURATION makes the 2D path reachable)
+        duration = (
+            max(int(cfg.CONTRASTIVE.DURATION), 1)
+            if cfg.CONTRASTIVE.MEM_TYPE == "2d"
+            else 1
+        )
         ssl["memory"] = jax.random.uniform(
             r2, (length, duration, dim), jnp.float32, -stdv, stdv
         )
@@ -367,9 +374,12 @@ def swav_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
 
 
 def mem_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
-    """1D memory-bank NCE (reference :395-464 + Memory :949-1060):
+    """Memory-bank NCE (reference :380-441 + Memory :937-1040):
     positives = own bank entry, negatives = QUEUE_LEN random entries;
-    bank updated with momentum at gathered indices."""
+    bank updated with momentum at gathered indices. MEM_TYPE '2d' uses a
+    time-indexed [length, duration, dim] bank: the query reads/writes its
+    clip's time slot (infos['time_idx'] scaled by duration-1, reference
+    :389), negatives draw random time slots (:408-415)."""
     t = cfg.CONTRASTIVE.T
     k = cfg.CONTRASTIVE.QUEUE_LEN
     index = infos["item_id"]
@@ -377,21 +387,33 @@ def mem_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     proj, _ = _proj_and_preds(out)
     q = l2_normalize(proj)
     b = q.shape[0]
-    length = ssl["memory"].shape[0]
-    clip_ind = jax.random.randint(rng, (b, k + 1), 0, length)
+    length, duration, _ = ssl["memory"].shape
+    r_ind, r_time = jax.random.split(rng)
+    clip_ind = jax.random.randint(r_ind, (b, k + 1), 0, length)
     clip_ind = clip_ind.at[:, 0].set(index)
-    mem = jax.lax.stop_gradient(ssl["memory"][:, 0])  # duration=1
-    negs = mem[clip_ind]  # [B, K+1, dim]
+    # own time slot: normalized clip time in [0,1] -> slot (reference :389)
+    time01 = infos.get("time_idx", jnp.zeros((b,), jnp.float32))
+    my_time = jnp.round(time01 * (duration - 1)).astype(jnp.int32)
+    if duration > 1:
+        time_ind = jax.random.randint(r_time, (b, k + 1), 0, duration)
+        time_ind = time_ind.at[:, 0].set(my_time)  # examplar_type 'clip'
+    else:
+        time_ind = jnp.zeros((b, k + 1), jnp.int32)
+    mem = jax.lax.stop_gradient(ssl["memory"])
+    negs = mem[clip_ind, time_ind]  # [B, K+1, dim]
     logits = jnp.einsum("nc,nkc->nk", q, negs) / t
     loss = L.contrastive_loss(logits)
-    # momentum update at gathered indices (reference Memory.update :1036)
+    # momentum update at gathered (index, time) (reference Memory.update)
     new_ssl = dict(ssl)
     q_all = all_gather_cat(jax.lax.stop_gradient(q), BATCH_AXES)
     ind_all = all_gather_cat(index, BATCH_AXES)
+    time_all = all_gather_cat(my_time, BATCH_AXES)
     m = cfg.CONTRASTIVE.MOMENTUM
-    old = ssl["memory"][ind_all, 0]
-    upd = l2_normalize(old * m + q_all * (1.0 - m))
-    new_ssl["memory"] = ssl["memory"].at[ind_all, 0].set(upd)
+    old = ssl["memory"][ind_all, time_all]
+    # reference :1030 weights the NEW features by momentum:
+    # mem_update = new * m + old * (1 - m)
+    upd = l2_normalize(q_all * m + old * (1.0 - m))
+    new_ssl["memory"] = ssl["memory"].at[ind_all, time_all].set(upd)
     new_ssl = knn_update(cfg, new_ssl, q, index)
     return loss, new_bs, new_ssl, {"loss_nce": loss}
 

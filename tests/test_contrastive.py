@@ -203,3 +203,28 @@ def test_knn_probe_separable_clusters():
     feats = jnp.asarray([[0.9, 0.1], [0.1, 0.9]], jnp.float32)
     acc = C.knn_probe(None, ssl, labels_bank, feats, jnp.asarray([0, 1]), knn_k=5)
     assert float(acc) == 1.0
+
+
+def test_mem_2d_time_indexed_bank():
+    """MEM_TYPE '2d' (reference Memory :937-1040 with duration>1): queries
+    read/write their own time slot; other slots of the same row survive."""
+    cfg = _cfg("mem", **{"CONTRASTIVE.MEM_TYPE": "2d"})
+    cfg.CONTRASTIVE.DURATION = 4
+    mesh, model, state, step = _setup(cfg)
+    assert state.ssl["memory"].shape == (32, 4, 16)
+    clips, infos = _batch(cfg)
+    # items 0..7 each at time slot 2 (time01 ~ 0.67 of 3 -> slot 2)
+    infos = dict(infos)
+    infos["time_idx"] = jnp.full((8,), 2.0 / 3.0, jnp.float32)
+    m0 = np.asarray(state.ssl["memory"])
+    state, stats = step(
+        state, clips, infos, jax.random.PRNGKey(0), jnp.float32(1e-3),
+        jnp.float32(0.0),
+    )
+    m1 = np.asarray(state.ssl["memory"])
+    assert np.isfinite(float(stats["loss_nce"]))
+    changed = ~np.all(np.isclose(m0, m1), axis=2)  # [length, duration]
+    rows = set(np.where(changed.any(axis=1))[0])
+    assert rows == set(range(8))
+    # only time slot 2 written
+    assert set(np.where(changed[:8].any(axis=0))[0]) == {2}
