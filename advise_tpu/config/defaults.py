@@ -279,6 +279,11 @@ _C.AUG.TRAIN_JITTER_MOTION_SHIFT = False
 # and is 3x faster on TPU (skips the HSV roundtrip). False enables a real
 # hue rotation at COLOR[4] strength.
 _C.AUG.REFERENCE_EXACT_HUE = True
+# Fused RandAugment fast path: compose RRC + sampled geometric ops + flip
+# into one bilinear gather per clip (single resample; color ops applied
+# post-warp in sampled order). False = sequential op-exact PIL semantics.
+# See data/rand_augment.py make_fused_rand_augment for the semantics delta.
+_C.AUG.FUSED_RA = True
 # Random erasing (timm semantics; reference datasets/random_erasing.py).
 _C.AUG.RE_PROB = 0.0
 _C.AUG.RE_MODE = "pixel"

@@ -358,9 +358,20 @@ def make_infer_aug(cfg):
 def make_aa_aug(cfg):
     """AUG.TYPE='aa': RandomResizedCrop -> RandAugment -> Normalize
     (-> RandomErasing when AUG.RE_PROB > 0)
-    (reference datasets/__init__.py:55-68 + rand_augment.py)."""
+    (reference datasets/__init__.py:55-68 + rand_augment.py).
+
+    With AUG.FUSED_RA (default) the RRC resample, every sampled geometric
+    RandAugment op, and the horizontal flip compose into ONE bilinear
+    gather per clip (see make_fused_rand_augment for the exact/fused
+    semantics delta); AUG.FUSED_RA=False keeps the sequential op-exact
+    path."""
     from advise_tpu.data.erasing import random_erasing_clip
-    from advise_tpu.data.rand_augment import make_rand_augment
+    from advise_tpu.data.rand_augment import (
+        fused_warp_coords,
+        make_fused_rand_augment,
+        make_rand_augment,
+        warp_gather,
+    )
 
     size = int(cfg.AUG.TARGET_SIZE)
     scale = (cfg.AUG.MIN_AREA, cfg.AUG.MAX_AREA)
@@ -368,6 +379,40 @@ def make_aa_aug(cfg):
     mean, std = cfg.DATA.MEAN, cfg.DATA.STD
     ra = make_rand_augment(cfg.AUG.AA_TYPE)
     re_prob = cfg.AUG.RE_PROB
+
+    if cfg.AUG.FUSED_RA:
+        ra_plan, ra_color = make_fused_rand_augment(cfg.AUG.AA_TYPE)
+
+        def one_clip_fused(clip_u8, key):
+            k_box, k_ra, k_flip, k_re = jax.random.split(key, 4)
+            t, h, w, c = clip_u8.shape
+            box = sample_rrc_box(k_box, h, w, scale, ratio)
+            p = ra_plan(k_ra, size)
+            flip = (
+                jax.random.uniform(k_flip, ()) < 0.5
+                if cfg.AUG.RANDOM_FLIP
+                else jnp.asarray(False)
+            )
+            sx, sy, valid = fused_warp_coords(p, box, flip, size)
+            clip = warp_gather(clip_u8.astype(jnp.float32), sx, sy, valid)
+            clip = ra_color(clip, p)
+            if re_prob > 0:
+                clip = random_erasing_clip(
+                    clip, k_re, probability=re_prob, mode=cfg.AUG.RE_MODE,
+                    count=cfg.AUG.RE_COUNT,
+                )
+            return normalize(clip, mean, std)
+
+        def apply_fused(batch_u8, key):
+            bsz, k = batch_u8.shape[:2]
+            flat = batch_u8.reshape(bsz * k, *batch_u8.shape[2:])
+            keys = jax.random.split(key, bsz * k)
+            # lax.map (not vmap) keeps the color-phase lax.switch a true
+            # runtime branch — see the note in the exact path below.
+            out = jax.lax.map(lambda args: one_clip_fused(*args), (flat, keys))
+            return out.reshape(bsz, k, *out.shape[1:])
+
+        return apply_fused
 
     def one_clip(clip_u8, key):
         k_box, k_ra, k_flip, k_re = jax.random.split(key, 4)

