@@ -133,6 +133,36 @@ def _proj_and_preds(out):
     return out, []
 
 
+def _vmap_views_apply(model, params, batch_stats, views_stacked, rng):
+    """Run several views through the network as ONE batched program via
+    ``jax.vmap`` over the leading view dim.
+
+    TPU rationale (measured, scripts/bench_byol_parts.py): a 2x-batch
+    SlowFast-R50 forward costs 1.30x a 1x forward (fwd+bwd 1.38x) — vmap
+    folds the view dim into the conv/matmul batch so the MXU sees the
+    bigger batch, while BN reductions stay PER VIEW (vmap keeps the view
+    dim out of the (N,T,H,W) reduction), reproducing the reference's
+    sequential per-view forwards' normalization exactly
+    (contrastive.py:308-371 runs views one at a time).
+
+    Deviation (documented): the mutated BN running stats of the views are
+    averaged instead of chained sequentially — normalization in train mode
+    uses batch statistics, so only the running-stat bookkeeping differs.
+    Returns (outs with leading view dim, averaged batch_stats)."""
+    def one(v):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            v, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng} if rng is not None else None,
+        )
+
+    out, mutated = jax.vmap(one)(views_stacked)
+    new_bs = jax.tree_util.tree_map(
+        lambda x: x.mean(axis=0), mutated.get("batch_stats", batch_stats)
+    ) if mutated else batch_stats
+    return out, new_bs
+
+
 def compute_keys(cfg, model, ssl, views, rng):
     """Momentum-encoder keys for a list of views (reference
     compute_key_feat :308-371), with optional shuffle-BN over the sync
@@ -141,15 +171,30 @@ def compute_keys(cfg, model, ssl, views, rng):
     Returns (keys, new_ema_batch_stats): the momentum encoder runs its BN
     in train mode and accumulates its own running stats, as the
     reference's momentum module does — callers must write the returned
-    stats back into ``ssl['ema_batch_stats']``."""
+    stats back into ``ssl['ema_batch_stats']``.
+
+    With TPU.VMAP_VIEWS (default) and no shuffle-BN, all views run as one
+    vmapped batched forward (see :func:`_vmap_views_apply`)."""
     shuffle_on = (
         cfg.BN.NORM_TYPE == "sync_batchnorm"
         and not cfg.BN.GLOBAL_SYNC
         and cfg.CONTRASTIVE.TYPE != "byol"
         and cfg.TPU.MESH_SYNC != -1  # shuffle within sync groups
     )
-    keys = []
     ema_bs = ssl["ema_batch_stats"]
+    if cfg.TPU.VMAP_VIEWS and not shuffle_on and len(views) > 1:
+        stacked = jax.lax.stop_gradient(jnp.stack(views))
+        out, ema_bs = _vmap_views_apply(
+            model, ssl["ema_params"], ema_bs, stacked,
+            jax.random.fold_in(rng, 100),
+        )
+        proj = out[0] if isinstance(out, (list, tuple)) else out
+        keys = [
+            jax.lax.stop_gradient(l2_normalize(proj[i]))
+            for i in range(len(views))
+        ]
+        return keys, jax.lax.stop_gradient(ema_bs)
+    keys = []
     for i, v in enumerate(views):
         v = jax.lax.stop_gradient(v)
         if shuffle_on:
@@ -211,14 +256,31 @@ def knn_update(cfg, ssl, q, index) -> Dict[str, Any]:
 
 def byol_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     """(reference :508-597): symmetric predictor-vs-EMA-key similarity,
-    sim_loss = -(q_hat . k_hat)/T averaged (:243-249)."""
+    sim_loss = -(q_hat . k_hat)/T averaged (:243-249).
+
+    TPU.VMAP_VIEWS (default): both online forwards run as ONE vmapped
+    batched program (BN statistics still per view — see
+    :func:`_vmap_views_apply`); measured 1.35x on the SlowFast-R50 step."""
     assert len(views) >= 2, "BYOL needs 2 clips per video"
     t = cfg.CONTRASTIVE.T
-    out1, bs1 = _apply_backbone(model, params, batch_stats, views[0], True, rng)
-    proj1, preds1 = _proj_and_preds(out1)
-    assert preds1, "BYOL requires CONTRASTIVE.PREDICTOR_DEPTHS"
-    out2, bs2 = _apply_backbone(model, params, bs1, views[1], True, rng)
-    _, preds2 = _proj_and_preds(out2)
+    if cfg.TPU.VMAP_VIEWS:
+        out, bs2 = _vmap_views_apply(
+            model, params, batch_stats, jnp.stack(views[:2]), rng
+        )
+        outs = [
+            jax.tree_util.tree_map(lambda x: x[i], out) for i in range(2)
+        ]
+        proj1, preds1 = _proj_and_preds(outs[0])
+        _, preds2 = _proj_and_preds(outs[1])
+        assert preds1, "BYOL requires CONTRASTIVE.PREDICTOR_DEPTHS"
+    else:
+        out1, bs1 = _apply_backbone(
+            model, params, batch_stats, views[0], True, rng
+        )
+        proj1, preds1 = _proj_and_preds(out1)
+        assert preds1, "BYOL requires CONTRASTIVE.PREDICTOR_DEPTHS"
+        out2, bs2 = _apply_backbone(model, params, bs1, views[1], True, rng)
+        _, preds2 = _proj_and_preds(out2)
 
     keys, ema_bs = compute_keys(cfg, model, ssl, views[:2], rng)
     loss = (
@@ -258,12 +320,22 @@ def simclr_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     exercised `cat_across_gpus` branch; the gather is differentiable like
     AllGatherWithGradient)."""
     t = cfg.CONTRASTIVE.T
-    out1, bs1 = _apply_backbone(model, params, batch_stats, views[0], True, rng)
-    proj1, _ = _proj_and_preds(out1)
-    q = l2_normalize(proj1)
-    out2, bs2 = _apply_backbone(model, params, bs1, views[1], True, rng)
-    proj2, _ = _proj_and_preds(out2)
-    q2 = l2_normalize(proj2)
+    if cfg.TPU.VMAP_VIEWS:
+        out, bs2 = _vmap_views_apply(
+            model, params, batch_stats, jnp.stack(views[:2]), rng
+        )
+        proj = out[0] if isinstance(out, (list, tuple)) else out
+        q = l2_normalize(proj[0])
+        q2 = l2_normalize(proj[1])
+    else:
+        out1, bs1 = _apply_backbone(
+            model, params, batch_stats, views[0], True, rng
+        )
+        proj1, _ = _proj_and_preds(out1)
+        q = l2_normalize(proj1)
+        out2, bs2 = _apply_backbone(model, params, bs1, views[1], True, rng)
+        proj2, _ = _proj_and_preds(out2)
+        q2 = l2_normalize(proj2)
     if cfg.CONTRASTIVE.SIMCLR_DIST_ON:
         qg = all_gather_cat(q, BATCH_AXES)
         qg2 = all_gather_cat(q2, BATCH_AXES)
@@ -313,18 +385,34 @@ def swav_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     t = cfg.CONTRASTIVE.T
     eps = 0.05  # swav_eps_sinkhorn (reference :109)
     n_clips = len(views)
-    embeddings, outputs, new_bs = [], [], batch_stats
-    for v in views:
-        out, new_bs = _apply_backbone(model, params, new_bs, v, True, rng)
-        proj, _ = _proj_and_preds(out)
-        proj = l2_normalize(proj)
-        scores = model.apply(
-            {"params": params, "batch_stats": new_bs},
-            proj,
-            method="prototypes",
+    embeddings, outputs = [], []
+    if cfg.TPU.VMAP_VIEWS and n_clips > 1:
+        out, new_bs = _vmap_views_apply(
+            model, params, batch_stats, jnp.stack(views), rng
         )
-        embeddings.append(proj)
-        outputs.append(scores)
+        proj_all = out[0] if isinstance(out, (list, tuple)) else out
+        for i in range(n_clips):
+            proj = l2_normalize(proj_all[i])
+            scores = model.apply(
+                {"params": params, "batch_stats": new_bs},
+                proj,
+                method="prototypes",
+            )
+            embeddings.append(proj)
+            outputs.append(scores)
+    else:
+        new_bs = batch_stats
+        for v in views:
+            out, new_bs = _apply_backbone(model, params, new_bs, v, True, rng)
+            proj, _ = _proj_and_preds(out)
+            proj = l2_normalize(proj)
+            scores = model.apply(
+                {"params": params, "batch_stats": new_bs},
+                proj,
+                method="prototypes",
+            )
+            embeddings.append(proj)
+            outputs.append(scores)
 
     epoch_exact = infos.get("epoch_exact", jnp.float32(0.0))
     use_queue = "queue_swav" in ssl

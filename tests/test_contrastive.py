@@ -228,3 +228,23 @@ def test_mem_2d_time_indexed_bank():
     assert rows == set(range(8))
     # only time slot 2 written
     assert set(np.where(changed[:8].any(axis=0))[0]) == {2}
+
+
+@pytest.mark.parametrize("ctype", ["byol", "simclr", "swav"])
+def test_vmap_views_matches_sequential(ctype):
+    """TPU.VMAP_VIEWS batches the per-view forwards via vmap; with no
+    dropout, BN statistics are per-view under vmap, so the loss must match
+    the sequential reference path to float tolerance."""
+    losses = {}
+    for vmap_on in (True, False):
+        cfg = _cfg(ctype)
+        cfg.TPU.VMAP_VIEWS = vmap_on
+        mesh, model, state, step = _setup(cfg)
+        clips, infos = _batch(cfg)
+        _, stats = step(
+            state, clips, infos, jax.random.PRNGKey(0), jnp.float32(1e-3),
+            jnp.float32(0.5),
+        )
+        loss_key = [k for k in stats if k.startswith("loss")][0]
+        losses[vmap_on] = float(stats[loss_key])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4)
