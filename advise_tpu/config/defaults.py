@@ -53,6 +53,23 @@ _C.TPU.MESH_SYNC = 1
 # pod-scale long-clip path, BASELINE.json config #5)
 _C.TPU.MESH_SEQ = 1
 
+# Partitioning strategy for the train step.
+#  'shard_map' (default): explicit SPMD — jit(shard_map(step)) over the
+#     ('data','sync'[,'seq']) mesh with hand-placed collectives (grad
+#     pmean, subgroup SyncBN psum, shuffle-BN, queue all_gather).
+#  'auto': jit + GSPMD — the step is written over logically GLOBAL arrays;
+#     params carry NamedShardings (tensor-parallel attention/MLP over a
+#     'model' axis + optional FSDP over 'data') and XLA's partitioner
+#     inserts all collectives. BN reduces over the global batch (implies
+#     BN.GLOBAL_SYNC semantics); shuffle-BN is moot. This is the scale-out
+#     path for the transformer flagships (Swin-B MoCo, MViT-L joint).
+_C.TPU.PARTITION_MODE = "shard_map"
+# tensor-parallel ('model') axis size for PARTITION_MODE='auto'
+_C.TPU.MESH_MODEL = 1
+# shard eligible replicated params over the 'data' axis too (ZeRO-3-style
+# fully-sharded data parallelism; auto mode only)
+_C.TPU.FSDP = False
+
 # Run augmentation on device (fused XLA/Pallas kernels over batched uint8
 # frames) instead of per-frame PIL on the host.
 _C.TPU.DEVICE_AUG = True
@@ -601,6 +618,19 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
         )
 
     assert cfg.TPU.COMPUTE_DTYPE in ("float32", "bfloat16")
+    assert cfg.TPU.PARTITION_MODE in ("shard_map", "auto")
+    if cfg.TPU.PARTITION_MODE == "auto":
+        # GSPMD mode: XLA places collectives; the explicit-axes machinery
+        # (subgroup SyncBN, shuffle-BN, ring attention) is shard_map-only
+        assert cfg.TPU.MESH_SEQ in (1, None), (
+            "TPU.MESH_SEQ (ring attention) requires PARTITION_MODE "
+            "'shard_map'; auto mode shards tokens via GSPMD instead"
+        )
+    else:
+        assert cfg.TPU.MESH_MODEL in (1, None) and not cfg.TPU.FSDP, (
+            "TPU.MESH_MODEL/FSDP (tensor/fully-sharded parallelism) "
+            "require TPU.PARTITION_MODE 'auto'"
+        )
     assert cfg.BN.NORM_TYPE in (
         "batchnorm",
         "sub_batchnorm",

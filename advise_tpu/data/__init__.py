@@ -136,7 +136,9 @@ def build_loader(cfg, mode: str = "train") -> ClipLoader:
             False,
             False,
         )
-    global_batch = per_dev * jax.device_count()
+    from advise_tpu.parallel.mesh import batch_device_count
+
+    global_batch = per_dev * batch_device_count(cfg)
     local_batch = max(global_batch // jax.process_count(), 1)
     return ClipLoader(
         dataset,

@@ -39,6 +39,17 @@ from advise_tpu.parallel.collectives import (
 from advise_tpu.parallel.mesh import BATCH_AXES, SYNC_AXIS
 
 
+def batch_axes(cfg) -> Tuple[str, ...]:
+    """Mesh axes carrying the batch for explicit collectives.
+
+    Under the auto (jit+GSPMD) partition mode the step sees logically
+    GLOBAL arrays — XLA inserts the collectives — so every explicit
+    gather/psum here degenerates to the identity (empty axes)."""
+    if getattr(cfg.TPU, "PARTITION_MODE", "shard_map") == "auto":
+        return ()
+    return BATCH_AXES
+
+
 def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """(reference Normalize module, contrastive.py:934-946). The norm is
     floored before the sqrt so the gradient stays finite at x=0 (JAX's
@@ -180,6 +191,9 @@ def compute_keys(cfg, model, ssl, views, rng):
         and not cfg.BN.GLOBAL_SYNC
         and cfg.CONTRASTIVE.TYPE != "byol"
         and cfg.TPU.MESH_SYNC != -1  # shuffle within sync groups
+        # auto mode has no named axes; BN there reduces over the global
+        # batch (= GLOBAL_SYNC), where the reference disables shuffling too
+        and batch_axes(cfg)
     )
     ema_bs = ssl["ema_batch_stats"]
     if cfg.TPU.VMAP_VIEWS and not shuffle_on and len(views) > 1:
@@ -211,11 +225,11 @@ def compute_keys(cfg, model, ssl, views, rng):
     return keys, jax.lax.stop_gradient(ema_bs)
 
 
-def dequeue_and_enqueue(ssl, keys) -> Dict[str, Any]:
+def dequeue_and_enqueue(ssl, keys, axes=BATCH_AXES) -> Dict[str, Any]:
     """Ring-buffer enqueue of the (globally gathered) first-view keys
     (reference _dequeue_and_enqueue :263-292)."""
     new = dict(ssl)
-    key = all_gather_cat(keys[0], BATCH_AXES)  # [global_B, dim]
+    key = all_gather_cat(keys[0], axes)  # [global_B, dim]
     k = ssl["queue_x"].shape[0]
     n = key.shape[0]
     # mirror the reference's `assert self.k % num_items == 0`: otherwise the
@@ -239,8 +253,9 @@ def knn_update(cfg, ssl, q, index) -> Dict[str, Any]:
     if not cfg.CONTRASTIVE.KNN_ON or "knn_mem" not in ssl:
         return ssl
     new = dict(ssl)
-    q_all = all_gather_cat(jax.lax.stop_gradient(q), BATCH_AXES)
-    ind_all = all_gather_cat(index, BATCH_AXES)
+    axes = batch_axes(cfg)
+    q_all = all_gather_cat(jax.lax.stop_gradient(q), axes)
+    ind_all = all_gather_cat(index, axes)
     new["knn_mem"] = ssl["knn_mem"].at[ind_all].set(
         q_all.astype(ssl["knn_mem"].dtype)
     )
@@ -309,7 +324,7 @@ def moco_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
         logits_list.append(jnp.concatenate([pos, queue_neg], axis=1))
     logits = jnp.concatenate(logits_list, axis=0) / t
     loss = L.contrastive_loss(logits)
-    ssl = dequeue_and_enqueue(ssl, keys)
+    ssl = dequeue_and_enqueue(ssl, keys, batch_axes(cfg))
     ssl = knn_update(cfg, ssl, q, infos["item_id"])
     acc = L.top_k_accuracy(logits, jnp.zeros((logits.shape[0],), jnp.int32), 1)
     return loss, new_bs, ssl, {"loss_nce": loss, "acc_ins": acc}
@@ -337,8 +352,8 @@ def simclr_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
         proj2, _ = _proj_and_preds(out2)
         q2 = l2_normalize(proj2)
     if cfg.CONTRASTIVE.SIMCLR_DIST_ON:
-        qg = all_gather_cat(q, BATCH_AXES)
-        qg2 = all_gather_cat(q2, BATCH_AXES)
+        qg = all_gather_cat(q, batch_axes(cfg))
+        qg2 = all_gather_cat(q2, batch_axes(cfg))
     else:
         qg, qg2 = q, q2
     out = jnp.concatenate([qg, qg2], axis=0)  # [2B, dim]
@@ -353,20 +368,22 @@ def simclr_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     return loss, bs2, ssl, {"loss_simclr": loss}
 
 
-def sinkhorn(Q: jnp.ndarray, iters: int = 3, distributed: bool = True):
+def sinkhorn(Q: jnp.ndarray, iters: int = 3, axes=BATCH_AXES):
     """Sinkhorn-Knopp normalization of [B, K] scores (reference
     sinkhorn/distributed_sinkhorn :875-910). Under SPMD every replica holds
-    its own rows; row sums psum over the batch axes."""
+    its own rows; row sums psum over the batch axes (empty axes -> the
+    single-program / auto-partition case: plain sums already span the
+    global batch)."""
     Q = Q.T  # [K, B_local]
     k = Q.shape[0]
 
     def allsum(x, axis=None):
         s = jnp.sum(x, axis=axis)
-        if distributed:
-            s = jax.lax.psum(s, BATCH_AXES)
+        if axes:
+            s = jax.lax.psum(s, axes)
         return s
 
-    total_b = Q.shape[1] * (world_size(BATCH_AXES) if distributed else 1)
+    total_b = Q.shape[1] * (world_size(axes) if axes else 1)
     Q = Q / allsum(Q)
     r = jnp.ones((k,), Q.dtype) / k
     c = jnp.ones((Q.shape[1],), Q.dtype) / total_b
@@ -418,6 +435,7 @@ def swav_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     use_queue = "queue_swav" in ssl
     new_ssl = dict(ssl)
     loss_total = 0.0
+    axes = batch_axes(cfg)
     crops_for_assign = range(min(2, n_clips))
     for i in crops_for_assign:
         out_i = jax.lax.stop_gradient(outputs[i])
@@ -435,19 +453,19 @@ def swav_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
             )
             gate = jnp.logical_and(started, epoch_exact >= 15.0)
             out_ext = jnp.concatenate([jnp.where(gate, w, -1e9), out_i], 0)
-            codes_ext = sinkhorn(jnp.exp(out_ext / eps), 3)
+            codes_ext = sinkhorn(jnp.exp(out_ext / eps), 3, axes)
             codes = codes_ext[-out_i.shape[0]:]
             # roll queue and insert current embeddings
             bsz = embeddings[i].shape[0]
             emb_all = all_gather_cat(
-                jax.lax.stop_gradient(embeddings[i]), BATCH_AXES
+                jax.lax.stop_gradient(embeddings[i]), axes
             )
             q_new = jnp.roll(new_ssl["queue_swav"][i], emb_all.shape[0], axis=0)
             q_new = q_new.at[: emb_all.shape[0]].set(emb_all)
             new_ssl["queue_swav"] = new_ssl["queue_swav"].at[i].set(q_new)
             new_ssl["swav_started"] = started
         else:
-            codes = sinkhorn(jnp.exp(out_i / eps), 3)
+            codes = sinkhorn(jnp.exp(out_i / eps), 3, axes)
         codes = jax.lax.stop_gradient(codes)
         subloss = 0.0
         for v in range(n_clips):
@@ -493,9 +511,10 @@ def mem_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     loss = L.contrastive_loss(logits)
     # momentum update at gathered (index, time) (reference Memory.update)
     new_ssl = dict(ssl)
-    q_all = all_gather_cat(jax.lax.stop_gradient(q), BATCH_AXES)
-    ind_all = all_gather_cat(index, BATCH_AXES)
-    time_all = all_gather_cat(my_time, BATCH_AXES)
+    axes = batch_axes(cfg)
+    q_all = all_gather_cat(jax.lax.stop_gradient(q), axes)
+    ind_all = all_gather_cat(index, axes)
+    time_all = all_gather_cat(my_time, axes)
     m = cfg.CONTRASTIVE.MOMENTUM
     old = ssl["memory"][ind_all, time_all]
     # reference :1030 weights the NEW features by momentum:

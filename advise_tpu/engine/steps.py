@@ -110,15 +110,15 @@ def masked_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=T
     stats = {"loss_mask": loss}
     if joint:
         assert k >= 2, "MASK.JOINT_CONTRASTIVE needs DATA.NUM_CLIP >= 2"
-        from advise_tpu.engine.contrastive import l2_normalize
+        from advise_tpu.engine.contrastive import batch_axes, l2_normalize
         from advise_tpu.parallel.collectives import all_gather_cat
 
         proj_bk = proj.reshape(b, k, -1)
         q1 = l2_normalize(proj_bk[:, 0].astype(jnp.float32))
         q2 = l2_normalize(proj_bk[:, 1].astype(jnp.float32))
         if train:
-            q1g = all_gather_cat(q1, BATCH_AXES)
-            q2g = all_gather_cat(q2, BATCH_AXES)
+            q1g = all_gather_cat(q1, batch_axes(cfg))
+            q2g = all_gather_cat(q2, batch_axes(cfg))
         else:
             q1g, q2g = q1, q2
         t = cfg.CONTRASTIVE.T
@@ -155,6 +155,8 @@ def make_train_step(cfg, mesh, model, bundle, device_aug: Optional[Callable]):
     ContrastiveModel routes to the SSL step (reference tools/train.py:63-77
     dispatches on the model class the same way).
     """
+    if cfg.TPU.PARTITION_MODE == "auto":
+        return make_auto_train_step(cfg, mesh, model, bundle, device_aug)
     if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
         return make_contrastive_train_step(cfg, mesh, model, bundle, device_aug)
     if cfg.MODEL.MODEL_NAME == "TemporalModel":
@@ -255,6 +257,116 @@ def make_train_step(cfg, mesh, model, bundle, device_aug: Optional[Callable]):
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if cfg.TPU.DONATE else ())
+
+
+def make_auto_train_step(cfg, mesh, model, bundle, device_aug):
+    """GSPMD train step (TPU.PARTITION_MODE='auto').
+
+    Written over logically GLOBAL arrays under plain ``jax.jit``: params
+    carry NamedShardings (tensor-parallel 'model' axis + optional FSDP,
+    ``parallel/auto_shard.py``), the batch is sharded over 'data', and
+    XLA's partitioner inserts every collective — grad reduce-scatters,
+    qkv/MLP all-reduces, the BN batch reduction (which therefore spans
+    the global batch: BN.GLOBAL_SYNC semantics). The explicit collective
+    helpers degenerate to identities via ``contrastive.batch_axes``.
+
+    Same signatures as the shard_map builders: contrastive gets the extra
+    ``epoch_exact`` scalar.
+    """
+    from advise_tpu.engine.contrastive import (
+        CONTRASTIVE_LOSSES,
+        momentum_at,
+        update_ema,
+    )
+    from advise_tpu.parallel.auto_shard import constrain_params
+
+    assert cfg.MODEL.MODEL_NAME != "TemporalModel", (
+        "auto partition mode does not support TemporalModel yet"
+    )
+    assert not cfg.TRAIN.SEQUENTIAL, (
+        "TRAIN.SEQUENTIAL clip micro-batching is a shard_map-path memory "
+        "lever; use TPU.REMAT / TPU.FSDP in auto mode"
+    )
+    compute_dtype = (
+        jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    )
+    contrastive = cfg.MODEL.MODEL_NAME == "ContrastiveModel"
+    if contrastive:
+        algo = CONTRASTIVE_LOSSES[cfg.CONTRASTIVE.TYPE]
+    elif cfg.MODEL.MODEL_NAME == "MaskMViT":
+        task_loss = masked_task_loss
+    else:
+        task_loss = TASK_LOSSES[cfg.TASK]
+    donate = (0,) if cfg.TPU.DONATE else ()
+
+    def finish(state, loss_fn, lr):
+        (loss, (new_bs, new_ssl, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        stats["grad_norm"] = global_grad_norm(grads)
+        direction, new_opt = bundle.tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = apply_direction(
+            state.params, direction, lr, bundle.lr_scales
+        )
+        return state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+            ssl=new_ssl,
+        ), stats
+
+    if contrastive:
+        def step(state: TrainState, clips_u8, infos, rng, lr, epoch_exact):
+            state = state.replace(
+                params=constrain_params(state.params, mesh, cfg.TPU.FSDP)
+            )
+            rng = jax.random.fold_in(rng, state.step)
+            aug_rng, drop_rng = jax.random.split(rng)
+            clips = (
+                device_aug(clips_u8, aug_rng)
+                if device_aug is not None else clips_u8
+            ).astype(compute_dtype)
+            views = [clips[:, i] for i in range(clips.shape[1])]
+            ssl = state.ssl
+            if "ema_params" in ssl:
+                m = momentum_at(cfg, epoch_exact)
+                ssl = update_ema(ssl, state.params, state.batch_stats, m)
+            infos = dict(infos)
+            infos["epoch_exact"] = epoch_exact
+
+            def loss_fn(params):
+                loss, new_bs, new_ssl, stats = algo(
+                    cfg, model, params, state.batch_stats, ssl, views,
+                    infos, drop_rng,
+                )
+                return loss, (new_bs, new_ssl, stats)
+
+            return finish(state, loss_fn, lr)
+    else:
+        def step(state: TrainState, clips_u8, infos, rng, lr):
+            state = state.replace(
+                params=constrain_params(state.params, mesh, cfg.TPU.FSDP)
+            )
+            rng = jax.random.fold_in(rng, state.step)
+            aug_rng, drop_rng = jax.random.split(rng)
+            clips = (
+                device_aug(clips_u8, aug_rng)
+                if device_aug is not None else clips_u8
+            ).astype(compute_dtype)
+
+            def loss_fn(params):
+                loss, (new_bs, stats) = task_loss(
+                    cfg, model, params, state.batch_stats, clips, infos,
+                    drop_rng, train=True,
+                )
+                return loss, (new_bs, state.ssl, stats)
+
+            return finish(state, loss_fn, lr)
+
+    return jax.jit(step, donate_argnums=donate)
 
 
 def make_contrastive_train_step(

@@ -23,6 +23,7 @@ from advise_tpu.engine.state import TrainState, param_count
 from advise_tpu.engine.steps import make_train_step
 from advise_tpu.models import build_model
 from advise_tpu.parallel import build_mesh
+from advise_tpu.parallel.mesh import batch_device_count
 from advise_tpu.solver import adjust_base_lr, build_tx, get_lr_at_epoch
 from advise_tpu.solver.lr_policy import PlateauController
 
@@ -73,7 +74,7 @@ def build_train_state(cfg, model_init, tx, rng) -> TrainState:
 def trainer(cfg, tb_logger=None) -> TrainState:
     """(reference tools/train.py trainer :290-344)."""
     mesh = build_mesh(cfg)
-    cfg.NUM_WORLDS = int(mesh.devices.size)
+    cfg.NUM_WORLDS = batch_device_count(cfg, int(mesh.devices.size))
     adjust_base_lr(cfg)
 
     loader = build_loader(cfg, "train")
@@ -112,6 +113,17 @@ def trainer(cfg, tb_logger=None) -> TrainState:
         from advise_tpu.engine.checkpoint import load_pretrained
 
         state, _, _ = load_pretrained(cfg.RESUME, state)
+
+    if cfg.TPU.PARTITION_MODE == "auto":
+        from advise_tpu.parallel.auto_shard import (
+            describe_sharding,
+            shard_train_state,
+        )
+
+        state, specs = shard_train_state(
+            cfg, mesh, state, bundle, reinit_opt=not resumed
+        )
+        logger.info(describe_sharding(state.params, specs))
 
     device_aug = build_device_aug(cfg, "train") if cfg.TPU.DEVICE_AUG else None
     step_fn = make_train_step(cfg, mesh, model, bundle, device_aug)

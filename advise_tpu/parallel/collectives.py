@@ -30,11 +30,20 @@ AxisNames = Union[str, Tuple[str, ...]]
 
 
 def pmean_tree(tree: Any, axis_names: AxisNames = BATCH_AXES) -> Any:
-    """Average a pytree across replicas (DDP gradient allreduce analog)."""
+    """Average a pytree across replicas (DDP gradient allreduce analog).
+
+    Empty ``axis_names`` is the no-comm identity: under the auto (GSPMD)
+    partition mode arrays are logically global and jnp reductions already
+    span the mesh, so every collective helper degenerates to a no-op.
+    """
+    if not axis_names:
+        return tree
     return jax.tree_util.tree_map(lambda x: lax.pmean(x, axis_names), tree)
 
 
 def psum_tree(tree: Any, axis_names: AxisNames = BATCH_AXES) -> Any:
+    if not axis_names:
+        return tree
     return jax.tree_util.tree_map(lambda x: lax.psum(x, axis_names), tree)
 
 
@@ -47,6 +56,9 @@ def all_gather_cat(
     autograd ``AllGatherWithGradient`` (``utils/distributed.py:131-155``):
     ``lax.all_gather``'s transpose is the gradient-reduce-then-slice the
     reference implements by hand.
+
+    Empty ``axis_names`` -> identity (auto/GSPMD mode: dim 0 is already
+    the global batch).
     """
     names = (axis_names,) if isinstance(axis_names, str) else tuple(axis_names)
     out = x
@@ -57,7 +69,8 @@ def all_gather_cat(
 
 
 def replica_index(axis_names: AxisNames = BATCH_AXES) -> jnp.ndarray:
-    """Linear index of this replica within the given axes (row-major)."""
+    """Linear index of this replica within the given axes (row-major).
+    Empty ``axis_names`` -> 0 (auto/GSPMD mode: one logical program)."""
     names = (axis_names,) if isinstance(axis_names, str) else tuple(axis_names)
     idx = jnp.zeros((), jnp.int32)
     for name in names:

@@ -34,6 +34,9 @@ SYNC_AXIS = "sync"
 # Sequence-parallel axis (TPU.MESH_SEQ > 1): attention token dim shards
 # here via ring attention; batch is replicated along it.
 SEQ_AXIS = "seq"
+# Tensor-parallel axis (TPU.PARTITION_MODE='auto' + TPU.MESH_MODEL > 1):
+# attention heads / MLP hidden shard here via GSPMD param shardings.
+MODEL_AXIS = "model"
 # Batch dimension is sharded over both axes (flattened).
 BATCH_AXES = (DATA_AXIS, SYNC_AXIS)
 
@@ -56,9 +59,10 @@ def distributed_init(cfg) -> None:
     cfg.RANK = jax.process_index()
     cfg.LOCAL_RANK = 0  # SPMD: one process drives all local devices
     # NUM_WORLDS in the reference = number of ranks = number of accelerators
-    # (one process per GPU). Here it is the device count, so the linear-LR
+    # (one process per GPU). Here it is the number of batch-carrying
+    # devices (model/seq axes replicate the batch), so the linear-LR
     # batch scaling (utils/solver.py:7-16) stays equivalent.
-    cfg.NUM_WORLDS = jax.device_count()
+    cfg.NUM_WORLDS = batch_device_count(cfg)
 
 
 def mesh_shape(cfg, n_devices: Optional[int] = None) -> Tuple[int, int]:
@@ -91,6 +95,18 @@ def build_mesh(cfg, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     > 1) keeps ring-attention ppermutes on directly-wired neighbors.
     """
     devs = np.asarray(devices if devices is not None else jax.devices())
+    if getattr(cfg.TPU, "PARTITION_MODE", "shard_map") == "auto":
+        # GSPMD mesh: ('data', 'model'). Innermost = model so tensor-
+        # parallel collectives (qkv/MLP all-reduces) ride adjacent ICI
+        # links; BN/batch reductions span 'data' automatically.
+        model = max(int(getattr(cfg.TPU, "MESH_MODEL", 1) or 1), 1)
+        assert devs.size % model == 0, (devs.size, model)
+        data = devs.size // model
+        logger.info(
+            "Mesh[auto]: data=%d model=%d over %d devices",
+            data, model, devs.size,
+        )
+        return Mesh(devs.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
     data, sync = mesh_shape(cfg, n_devices=devs.size)
     seq = max(int(getattr(cfg.TPU, "MESH_SEQ", 1) or 1), 1)
     if seq > 1:
@@ -107,6 +123,10 @@ def build_mesh(cfg, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
 
 def bn_axis_names(cfg) -> Tuple[str, ...]:
     """Mesh axes over which BatchNorm statistics are synchronized."""
+    if getattr(cfg.TPU, "PARTITION_MODE", "shard_map") == "auto":
+        # GSPMD: BN's plain batch reduction already spans the globally-
+        # sharded batch — no named axes exist or are needed
+        return ()
     if cfg.BN.NORM_TYPE != "sync_batchnorm":
         return ()
     if cfg.BN.GLOBAL_SYNC:
@@ -114,10 +134,31 @@ def bn_axis_names(cfg) -> Tuple[str, ...]:
     return (SYNC_AXIS,)
 
 
+def batch_device_count(cfg, n_devices: Optional[int] = None) -> int:
+    """Number of devices that carry distinct batch shards: the total
+    device count divided by the batch-replicating axes ('model' under the
+    auto partition mode, 'seq' under shard_map sequence parallelism).
+    This is the reference's NUM_WORLDS for LR scaling / loader sizing."""
+    n = n_devices if n_devices is not None else jax.device_count()
+    if getattr(cfg.TPU, "PARTITION_MODE", "shard_map") == "auto":
+        rep = max(int(getattr(cfg.TPU, "MESH_MODEL", 1) or 1), 1)
+    else:
+        rep = max(int(getattr(cfg.TPU, "MESH_SEQ", 1) or 1), 1)
+    assert n % rep == 0, (n, rep)
+    return n // rep
+
+
+def mesh_batch_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """The axes of `mesh` that carry the batch dimension: 'data' plus
+    'sync' when present (shard_map meshes); just 'data' on an auto
+    ('data','model') mesh — batch is replicated along 'model'/'seq'."""
+    return tuple(a for a in (DATA_AXIS, SYNC_AXIS) if a in mesh.axis_names)
+
+
 def batch_sharding(mesh: Mesh, ndim: int, batch_dim: int = 0) -> NamedSharding:
-    """Sharding that splits dim `batch_dim` over the whole device world."""
+    """Sharding that splits dim `batch_dim` over the mesh's batch axes."""
     spec = [None] * ndim
-    spec[batch_dim] = BATCH_AXES
+    spec[batch_dim] = mesh_batch_axes(mesh)
     return NamedSharding(mesh, P(*spec))
 
 

@@ -160,7 +160,7 @@ def test_sinkhorn_constraints():
     from jax.sharding import PartitionSpec as P
 
     f = shard_map(
-        lambda s: C.sinkhorn(s, iters=3, distributed=True),
+        lambda s: C.sinkhorn(s, iters=3, axes=BATCH_AXES),
         mesh=mesh,
         in_specs=P(BATCH_AXES),
         out_specs=P(BATCH_AXES),
