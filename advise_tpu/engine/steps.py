@@ -586,11 +586,19 @@ def make_tmodeling_train_step(cfg, mesh, model, bundle, device_aug):
 
 def make_eval_step(cfg, mesh, model, device_aug: Optional[Callable]):
     """Forward-only step returning per-device logits and labels gathered
-    back as global arrays (for validation confusion matrices)."""
+    back as global arrays (for validation confusion matrices).
+
+    Uses the mesh's actual batch axes so it also runs on an auto
+    ('data','model') mesh (there the batch rides 'data' only and the
+    model is the GSPMD-partitioned twin with no named BN axes)."""
+    from advise_tpu.parallel.mesh import mesh_batch_axes
+
     compute_dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    # auto mode runs under plain jit: no named axes exist
+    axes = () if cfg.TPU.PARTITION_MODE == "auto" else mesh_batch_axes(mesh)
 
     def per_device(params, batch_stats, clips_u8, infos, rng):
-        my = replica_index(BATCH_AXES)
+        my = replica_index(axes)
         rng = jax.random.fold_in(rng, my)
         clips = device_aug(clips_u8, rng) if device_aug is not None else clips_u8
         clips = clips.astype(compute_dtype)
@@ -601,11 +609,16 @@ def make_eval_step(cfg, mesh, model, device_aug: Optional[Callable]):
         )
         return logits.reshape(b, k, -1)
 
+    if cfg.TPU.PARTITION_MODE == "auto":
+        # plain jit: batch arrives 'data'-sharded, params TP/FSDP-sharded;
+        # GSPMD partitions the forward
+        return jax.jit(per_device)
+
     sharded = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(), P(), P(BATCH_AXES), P(BATCH_AXES), P()),
-        out_specs=P(BATCH_AXES),
+        in_specs=(P(), P(), P(axes), P(axes), P()),
+        out_specs=P(axes),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -213,6 +213,32 @@ def test_auto_matches_shard_map_speed_step():
     )
 
 
+def test_auto_eval_step():
+    """make_eval_step under auto mode: plain jit forward with GSPMD-
+    partitioned params, logits shaped [B, K, C]."""
+    from advise_tpu.engine.steps import make_eval_step
+
+    cfg = _tiny_speed_cfg("auto")
+    cfg.TPU.MESH_MODEL = 2
+    mesh = build_mesh(cfg)
+    model, bundle, state = _build_state(
+        cfg, mesh, (1, 2, 16, 16, 3), with_mask_rng=False
+    )
+    from advise_tpu.parallel.auto_shard import shard_train_state
+
+    state, _ = shard_train_state(cfg, mesh, state, bundle)
+    eval_step = make_eval_step(cfg, mesh, model, device_aug=None)
+    clips = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 2, 2, 16, 16, 3))
+        .astype(np.float32)
+    )
+    logits = eval_step(
+        state.params, state.batch_stats, clips, {}, jax.random.PRNGKey(0)
+    )
+    assert logits.shape == (8, 2, 4)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_auto_moco_queue_and_ema():
     """MoCo under auto mode: the queue enqueue (identity 'gather' over the
     global batch), pointer advance, and EMA update all work with XLA
