@@ -213,6 +213,63 @@ def test_auto_matches_shard_map_speed_step():
     )
 
 
+def test_auto_swin_moco_step():
+    """Video Swin MoCo (flagship #4's structure) under auto TP: window
+    attention + head BN partition via GSPMD, queue advances."""
+    cfg = get_cfg()
+    cfg.TASK = "contrastive"
+    cfg.MODEL.MODEL_NAME = "ContrastiveModel"
+    cfg.MODEL.ARCH = "swin"
+    cfg.CONTRASTIVE.TYPE = "moco"
+    cfg.CONTRASTIVE.DIM = 16
+    cfg.CONTRASTIVE.MLP_DIM = 32
+    cfg.CONTRASTIVE.NUM_MLP_LAYERS = 2
+    cfg.CONTRASTIVE.QUEUE_LEN = 64
+    cfg.CONTRASTIVE.LENGTH = 32
+    cfg.CONTRASTIVE.KNN_ON = False
+    cfg.SWIN.EMBED_DIM = 8
+    cfg.SWIN.DEPTHS = [1, 1]
+    cfg.SWIN.NUM_HEADS = [2, 4]
+    cfg.SWIN.PATCH_SIZE = [1, 2, 2]
+    cfg.SWIN.WINDOW_SIZE = [2, 4, 4]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.PARTITION_MODE = "auto"
+    cfg.TPU.MESH_MODEL = 2
+    cfg.TPU.FSDP = False
+    cfg.TPU.DONATE = False
+    cfg.BN.NORM_TYPE = "sync_batchnorm"
+    cfg.BN.GLOBAL_SYNC = True  # auto mode: BN spans the global batch
+    cfg.BN.NUM_SYNC_DEVICES = -1
+    cfg.DATA.NUM_CLIP = 2
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.AUG.TARGET_SIZE = 16
+    cfg.NUM_WORLDS = 4
+    cfg = assert_and_infer_cfg(cfg)
+    mesh = build_mesh(cfg)
+    model, bundle, state = _build_state(
+        cfg, mesh, (2, 2, 16, 16, 3), with_mask_rng=False
+    )
+    from advise_tpu.engine.contrastive import init_ssl_state
+    from advise_tpu.parallel.auto_shard import shard_train_state
+
+    state = state.replace(ssl=init_ssl_state(
+        cfg, state.params, state.batch_stats, jax.random.PRNGKey(7)
+    ))
+    state, _ = shard_train_state(cfg, mesh, state, bundle)
+    step = make_train_step(cfg, mesh, model, bundle, device_aug=None)
+    clips = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 2, 2, 16, 16, 3))
+        .astype(np.float32)
+    )
+    infos = {"item_id": jnp.arange(8, dtype=jnp.int32)}
+    state, stats = step(
+        state, clips, infos, jax.random.PRNGKey(0), jnp.float32(1e-2),
+        jnp.float32(0.5),
+    )
+    assert np.isfinite(float(stats["loss_nce"])), stats
+    assert int(state.ssl["ptr"]) == 8
+
+
 def test_auto_eval_step():
     """make_eval_step under auto mode: plain jit forward with GSPMD-
     partitioned params, logits shaped [B, K, C]."""
