@@ -65,6 +65,52 @@ def test_array_reader():
 # ---------------------------------------------------------------------------
 
 
+def test_cv2_reader_seek_matches_sequential(tmp_path):
+    """CV2Reader's pre-roll seek + grab() skipping must return frames
+    bit-identical to a plain frame-0..N sequential decode (the fallback
+    guards codecs with unreliable seeks; mp4v here seeks accurately)."""
+    cv2 = pytest.importorskip("cv2")
+    from advise_tpu.data.video_io import CV2Reader
+
+    path = str(tmp_path / "seek.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 255, (48, 64, 3), np.uint8)
+    for t in range(120):
+        f = np.roll(base, t * 3, axis=1).copy()
+        f[:8, :8] = t  # frame index painted into a corner
+        wr.write(f)
+    wr.release()
+
+    # ground truth: plain sequential decode with the same cv2 build
+    cap = cv2.VideoCapture(path)
+    seq = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        seq.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    assert len(seq) >= 100
+
+    # strided read far into the file: exercises seek (min 70 >= threshold)
+    idx = [70, 72, 74, 76, 94]
+    got = CV2Reader(path).get_frames(idx)
+    np.testing.assert_array_equal(got, np.stack([seq[i] for i in idx]))
+
+    # near-start read: exercises the grab() path without seeking
+    idx2 = [2, 5, 9]
+    got2 = CV2Reader(path).get_frames(idx2)
+    np.testing.assert_array_equal(got2, np.stack([seq[i] for i in idx2]))
+
+    # a second get_frames on the same reader (probe capture consumed)
+    got3 = CV2Reader(path)
+    got3.get_frames(idx2)
+    np.testing.assert_array_equal(
+        got3.get_frames(idx), np.stack([seq[i] for i in idx])
+    )
+
+
 def test_dataset_item_shapes():
     cfg = _cfg()
     ds = build_dataset(cfg, "train")
