@@ -70,10 +70,14 @@ class CV2Reader(VideoReader):
        ``grab()`` — the demuxer advances without the retrieve + BGR copy +
        colorspace conversion of a full ``read()``;
     3. when the first requested frame is far into the file, we seek
-       (``CAP_PROP_POS_FRAMES``) instead of decoding the pre-roll, with a
-       verified fallback: if the backend reports landing anywhere other
-       than on-or-before the target, we reopen and decode sequentially
-       (seek accuracy is codec-dependent; correctness must not be).
+       (``CAP_PROP_POS_FRAMES``) instead of decoding the pre-roll —
+       ONLY on the FFmpeg backend, whose seek lands on the prior
+       keyframe and decodes forward internally, making the next read
+       frame-exact. Other backends (GStreamer/MSMF) may echo the
+       requested index back from ``get(CAP_PROP_POS_FRAMES)`` while
+       actually positioned elsewhere, so they always decode
+       sequentially; an on-or-before landing check guards FFmpeg too
+       (correctness must never depend on seek accuracy).
     """
 
     # below this pre-roll length sequential grab() beats a seek
@@ -116,7 +120,13 @@ class CV2Reader(VideoReader):
             cap = cv2.VideoCapture(self.path)
         try:
             pos = 0
+            seekable = False
             if min_idx >= self._SEEK_MIN_SKIP:
+                try:
+                    seekable = cap.getBackendName() == "FFMPEG"
+                except Exception:
+                    seekable = False
+            if seekable:
                 cap.set(cv2.CAP_PROP_POS_FRAMES, min_idx)
                 landed = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
                 if 0 <= landed <= min_idx:

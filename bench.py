@@ -11,9 +11,11 @@ driver, a tiny CPU smoke variant elsewhere. Prints ONE JSON line:
 vs_baseline: the reference publishes no numbers (BASELINE.md). The
 denominator is the documented GPU-equivalent estimate in BASELINE.md:
 supervised SlowFast-R50 32f training runs ~25-35 clips/s/A100 in public
-PySlowFast-era logs; BYOL is ~2.7x the work per clip-view (two online
-fwd+bwd + two EMA forwards) -> ~18-26 clip-views/s/GPU, midpoint 22.
-The BASELINE.json target is vs_baseline >= 2.0.
+PySlowFast-era logs. BYOL does ~2.7x that work per CLIP (each clip
+becomes 2 views: two online fwd+bwd + two EMA forwards, vs one
+supervised fwd+bwd) -> 25-35/2.7 = 9-13 clips/s, and each clip counts
+as 2 clip-view units -> ~18-26 clip-views/s/GPU, midpoint 22. The
+BASELINE.json target is vs_baseline >= 2.0.
 """
 
 from __future__ import annotations

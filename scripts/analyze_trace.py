@@ -40,21 +40,35 @@ def main():
         if any(k in n.lower() for k in ("tpu", "device", "xla", "accel"))
         and "host" not in n.lower()
     }
+    # Module/step events (jit_* launches, bare numeric queue markers)
+    # CONTAIN the op events on an overlapping lane — aggregate them
+    # separately so op time isn't double-counted against step time.
+    def is_module(name: str) -> bool:
+        return name.startswith("jit_") or name.isdigit()
+
     durs = collections.Counter()
     counts = collections.Counter()
-    total = 0.0
+    op_total = 0.0
+    module_total = 0.0
+    modules = collections.Counter()
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
         if device_pids and e.get("pid") not in device_pids:
             continue
         name = e.get("name", "?")
+        if is_module(name):
+            modules[name] += e["dur"]
+            module_total += e["dur"]
+            continue
         durs[name] += e["dur"]
         counts[name] += 1
-        total += e["dur"]
+        op_total += e["dur"]
     print(f"trace: {path}\nlanes: "
           f"{[pname.get(p, p) for p in (device_pids or set(pname))][:6]}\n"
-          f"total device-event time: {total/1e3:.1f} ms")
+          f"module/step events: {module_total/1e3:.1f} ms "
+          f"{[f'{n}={d/1e3:.1f}ms' for n, d in modules.most_common(4)]}\n"
+          f"device op time: {op_total/1e3:.1f} ms")
     for name, d in durs.most_common(topn):
         print(f"{d/1e3:9.2f} ms  x{counts[name]:<5d} {name[:100]}")
 

@@ -27,10 +27,12 @@ def main():
     ap.add_argument("--opts", nargs="*", default=[])
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # host-only bench: force CPU unconditionally (sitecustomize may have
+    # baked the axon TPU backend into the env AND pre-imported jax)
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_platforms", "cpu")
 
     from advise_tpu.config import assert_and_infer_cfg, get_cfg
     from advise_tpu.data import build_loader
@@ -38,6 +40,8 @@ def main():
     cfg = get_cfg()
     cfg.merge_from_file(args.cfg)
     if args.datadir:
+        if not args.labeldir:
+            ap.error("--datadir requires --labeldir (the split-CSV dir)")
         cfg.DATA.DATADIR = args.datadir
         cfg.DATA.LABELDIR = args.labeldir
         cfg.DATA.DECODE_BACKEND = "cv2"
@@ -57,6 +61,11 @@ def main():
                       f"workers={cfg.DATA.WORKERS}")
             else:
                 n_items += clips.shape[0]
+    if t0 is None:
+        sys.exit(
+            "loader yielded no batches (dataset smaller than the batch "
+            "size with drop_last?) — nothing to measure"
+        )
     dt = time.perf_counter() - t0
     k = cfg.DATA.NUM_CLIP
     print(

@@ -32,6 +32,11 @@ def main():
             wr = cv2.VideoWriter(
                 path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
             )
+            if not wr.isOpened():
+                sys.exit(
+                    f"cv2.VideoWriter could not open {path} (no mp4v "
+                    "encoder in this OpenCV build?)"
+                )
             # textured background + several moving blobs; speed ~ class
             bg = rng.integers(0, 255, (h, w, 3), np.uint8)
             bg = cv2.GaussianBlur(bg, (21, 21), 0)
