@@ -107,6 +107,16 @@ _C.TPU.PROFILE_DIR = ""
 _C.TPU.PROFILE_START = 10
 _C.TPU.PROFILE_STEPS = 5
 
+# Persistent XLA compilation cache directory ('' disables, the default).
+# On real TPU backends serialized executables are reused across
+# processes/restarts — multi-minute flagship-step compiles become
+# near-instant on resume; set it for production deployments. Off by
+# default because (a) backends without executable serialization (e.g.
+# this image's axon relay) silently write nothing, and (b) XLA:CPU AOT
+# reuse warns about machine-feature mismatches. Verified working on
+# XLA:CPU (cache hit on second process).
+_C.TPU.COMPILE_CACHE_DIR = ""
+
 # -----------------------------------------------------------------------------
 # TModeling options
 # -----------------------------------------------------------------------------

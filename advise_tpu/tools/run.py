@@ -30,11 +30,30 @@ from advise_tpu.utils.logging import get_commit_sha, setup_logger
 logger = logging.getLogger(__name__)
 
 
+def enable_compile_cache(cfg) -> None:
+    """Persistent XLA compilation cache (TPU.COMPILE_CACHE_DIR): reuse
+    serialized executables across processes so restarts skip the
+    minutes-long large-program compiles. Backends without executable
+    serialization make this a warned no-op."""
+    path = getattr(cfg.TPU, "COMPILE_CACHE_DIR", "")
+    if not path:
+        return
+    path = os.path.expanduser(path)
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache even fast compiles: resume latency, not disk, is scarce
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        logger.warning("compilation cache disabled: %s", e)
+
+
 def main(argv=None):
     args = parse_args(argv)
     cfg = assert_and_infer_cfg(load_config(args))
     distributed_init(cfg)
     setup_logger(cfg)
+    enable_compile_cache(cfg)
     cfg.COMMIT_SHA = get_commit_sha()
     logger.info("devices: %s", jax.devices())
     logger.info("commit: %s", cfg.COMMIT_SHA)

@@ -62,6 +62,9 @@ def main():
     cfg.TPU.MESH_SYNC = min(int(cfg.TPU.MESH_SYNC), n_dev)
     cfg.BN.NUM_SYNC_DEVICES = cfg.TPU.MESH_SYNC
     cfg = assert_and_infer_cfg(cfg)
+    from advise_tpu.tools.run import enable_compile_cache
+
+    enable_compile_cache(cfg)
 
     class _TxProxy:  # placeholder so build_train_state sizes the state
         def init(self, params):

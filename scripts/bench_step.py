@@ -48,6 +48,9 @@ def main():
     if args.opts:
         cfg.merge_from_list(args.opts)
     cfg = assert_and_infer_cfg(cfg)
+    from advise_tpu.tools.run import enable_compile_cache
+
+    enable_compile_cache(cfg)
 
     class _TxProxy:
         def init(self, params):
