@@ -464,6 +464,14 @@ class MViT(nn.Module):
             # two-stream reversible with true O(1) backward (module
             # docstring). cls token unsupported, as reference.
             assert not cls_on, "reversible MViT requires CLS_EMBED_ON=False"
+            # Intermediate capture (MaskMViT pretrain depths): inside a
+            # reversible segment the per-block activations are by design
+            # not materialized, so requested depths must land on chunk
+            # boundaries (a stage transition or the last block of a
+            # uniform segment — MASK.PRETRAIN_DEPTH=[depth-1] always
+            # qualifies). The two streams fuse through the same
+            # RESPATH_FUSE module family the reference's RevMViT head
+            # uses (reference reversible_mvit.py TwoStreamFusion).
             x1, x2 = x, x
             i = 0
             seg_id = 0
@@ -501,6 +509,8 @@ class MViT(nn.Module):
                     out, _ = blk(fused, thw, not train)
                     x1 = x2 = out
                     thw = _pooled_thw(thw, spec["kernel_q"], spec["stride_q"])
+                    if i in self.return_intermediate:
+                        intermediates.append((out, thw))
                     i += 1
                     continue
 
@@ -511,8 +521,24 @@ class MViT(nn.Module):
                 x1, x2 = self._rev_segment(
                     spec, seg_id, j - i, dpr[i:j], x1, x2, train
                 )
+                inside = [d for d in self.return_intermediate if i <= d < j - 1]
+                assert not inside, (
+                    f"return_intermediate depths {inside} fall INSIDE a "
+                    f"reversible segment [{i},{j}); with MVIT.REV.ENABLE "
+                    "only segment-boundary depths are materialized — move "
+                    "MASK.PRETRAIN_DEPTH to a stage boundary or the final "
+                    "block, or disable REV"
+                )
+                if j - 1 in self.return_intermediate:
+                    feat = TwoStreamFusion(
+                        mode=cfg.MVIT.REV.RESPATH_FUSE,
+                        name=f"fuse_inter_{seg_id}",
+                    )(jnp.concatenate([x1, x2], axis=-1))
+                    intermediates.append((feat, thw))
                 seg_id += 1
                 i = j
+            if self.return_intermediate:
+                return intermediates
             x = jnp.concatenate([x1, x2], axis=-1)
             x = TwoStreamFusion(
                 mode=cfg.MVIT.REV.RESPATH_FUSE, name="fuse"
