@@ -184,6 +184,38 @@ def test_maskmvit_variants(variant):
     assert np.isfinite(float(loss))
 
 
+def test_maskmvit_rev_intermediates():
+    """Reversible + masked pretrain: boundary depths materialize fused
+    intermediates; a depth INSIDE a reversible segment raises the
+    explanatory assert instead of silently returning wrong features."""
+    base = {
+        "MVIT.REV.ENABLE": True,
+        "MVIT.CLS_EMBED_ON": False,
+        "MVIT.DEPTH": 6,
+        "MVIT.DIM_MUL": [[2, 2.0]],
+        "MVIT.HEAD_MUL": [[2, 2.0]],
+        "MVIT.POOL_Q_STRIDE": [[2, 1, 2, 2]],
+        "MVIT.POOL_KV_STRIDE_ADAPTIVE": None,
+        "MVIT.DROPPATH_RATE": 0.0,
+        "MODEL.MODEL_NAME": "MaskMViT",
+        "MASK.ENABLE": True,
+        "AUG.MASK_RATIO": 0.5,
+    }
+    cfg = _mvit_cfg(**base)
+    cfg.MASK.PRETRAIN_DEPTH = [5]  # last block of the final segment: ok
+    m, v, out = _run(cfg)
+    preds, labels, masks, weights = out
+    assert len(preds) == 1 and np.isfinite(np.asarray(preds[0])).all()
+
+    # MaskMViT truncates the schedule to the LAST requested depth, so a
+    # single depth always lands on a boundary; two depths with the first
+    # inside the [3,6) uniform segment must raise the explanatory assert
+    cfg_bad = _mvit_cfg(**base)
+    cfg_bad.MASK.PRETRAIN_DEPTH = [3, 5]
+    with pytest.raises(AssertionError, match="INSIDE a reversible segment"):
+        _run(cfg_bad)
+
+
 def test_mvit_rev_o1_scan_gradient_parity_deep():
     """The O(1) custom-VJP reversible path must produce the same loss and
     gradients as the identical coupling under plain autodiff (same stacked
