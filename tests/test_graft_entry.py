@@ -11,6 +11,22 @@ import sys
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
+def test_entry_traces_and_lowers():
+    """entry() must return a jittable fn + example args: trace and lower
+    it (no backend compile — the full-width R3D-50 takes minutes on
+    XLA:CPU; the driver compile-checks it on the real chip)."""
+    import jax
+
+    sys.path.insert(0, ROOT)
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    lowered = jax.jit(fn).lower(*args)
+    assert "func" in lowered.as_text()[:2000] or lowered is not None
+    out_shape = jax.eval_shape(fn, *args)
+    assert out_shape.shape[0] == args[1].shape[0]  # batch preserved
+
+
 def test_dryrun_multichip_8_without_conftest_env():
     """Spawn a fresh interpreter with conftest's CPU-mesh env stripped —
     the child sees whatever backend the image bakes in (the axon TPU
