@@ -270,6 +270,65 @@ def test_auto_swin_moco_step():
     assert int(state.ssl["ptr"]) == 8
 
 
+@pytest.mark.parametrize("ctype", ["byol", "simclr", "swav"])
+def test_auto_contrastive_algorithms(ctype):
+    """The remaining SSL algorithms under auto mode: vmapped multi-view
+    forwards, identity 'gathers' over the global batch, Sinkhorn without
+    psum — all must produce finite losses and advance state."""
+    cfg = get_cfg()
+    cfg.TASK = "contrastive"
+    cfg.MODEL.MODEL_NAME = "ContrastiveModel"
+    cfg.MODEL.ARCH = "slow"
+    cfg.RESNET.DEPTH = 10
+    cfg.RESNET.TRANS_FUNC = "basic_transform"
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[1], [1], [1], [1]]
+    cfg.CONTRASTIVE.TYPE = ctype
+    cfg.CONTRASTIVE.DIM = 16
+    cfg.CONTRASTIVE.MLP_DIM = 32
+    cfg.CONTRASTIVE.NUM_MLP_LAYERS = 2
+    cfg.CONTRASTIVE.QUEUE_LEN = 32
+    cfg.CONTRASTIVE.LENGTH = 64
+    cfg.CONTRASTIVE.PREDICTOR_DEPTHS = [2] if ctype == "byol" else []
+    cfg.CONTRASTIVE.SWAV_QEUE_LEN = 16 if ctype == "swav" else 0
+    cfg.DATA.NUM_CLIP = 2
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.AUG.TARGET_SIZE = 16
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.PARTITION_MODE = "auto"
+    cfg.TPU.MESH_MODEL = 2
+    cfg.TPU.DONATE = False
+    cfg.BN.NORM_TYPE = "sync_batchnorm"
+    cfg.BN.GLOBAL_SYNC = True
+    cfg.BN.NUM_SYNC_DEVICES = -1
+    cfg.NUM_WORLDS = 4
+    cfg = assert_and_infer_cfg(cfg)
+    mesh = build_mesh(cfg)
+    model, bundle, state = _build_state(
+        cfg, mesh, (1, 2, 16, 16, 3), with_mask_rng=False
+    )
+    from advise_tpu.engine.contrastive import init_ssl_state
+    from advise_tpu.parallel.auto_shard import shard_train_state
+
+    state = state.replace(ssl=init_ssl_state(
+        cfg, state.params, state.batch_stats, jax.random.PRNGKey(7)
+    ))
+    state, _ = shard_train_state(cfg, mesh, state, bundle)
+    step = make_train_step(cfg, mesh, model, bundle, device_aug=None)
+    rng = np.random.default_rng(0)
+    clips = jnp.asarray(rng.normal(size=(8, 2, 2, 16, 16, 3)).astype(np.float32))
+    infos = {"item_id": jnp.arange(8, dtype=jnp.int32)}
+    state, stats = step(
+        state, clips, infos, jax.random.PRNGKey(0), jnp.float32(1e-2),
+        jnp.float32(16.0),  # epoch_exact past the SwAV queue gate
+    )
+    key = {"byol": "loss_byol", "simclr": "loss_simclr", "swav": "loss_swav"}
+    assert np.isfinite(float(stats[key[ctype]])), stats
+    assert int(state.step) == 1
+    if ctype == "byol":
+        assert "ema_params" in state.ssl
+
+
 def test_auto_eval_step():
     """make_eval_step under auto mode: plain jit forward with GSPMD-
     partitioned params, logits shaped [B, K, C]."""
