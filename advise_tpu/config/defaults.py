@@ -107,6 +107,13 @@ _C.TPU.PROFILE_DIR = ""
 _C.TPU.PROFILE_START = 10
 _C.TPU.PROFILE_STEPS = 5
 
+# Compute the ResNet/SlowFast stem conv on a 2x2 space-to-depth input
+# (lossless kernel remap, identical params/checkpoints). Targets the
+# <2%-MXU-utilization narrow-channel stem the SlowFast BYOL device trace
+# exposed (~24% of the step); needs even input H/W. Off by default until
+# measured on the chip.
+_C.TPU.STEM_S2D = False
+
 # Persistent XLA compilation cache directory ('' disables, the default).
 # On real TPU backends serialized executables are reused across
 # processes/restarts — multi-minute flagship-step compiles become

@@ -8,10 +8,70 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from advise_tpu.models.layers.common import msra_init
+
+
+class SpaceToDepthStemConv(nn.Module):
+    """The (t,7,7)/s(1,2,2) stem convolution computed on a 2×2
+    space-to-depth input (TPU.STEM_S2D).
+
+    Why (device-trace evidence, BASELINE.md): with 3 input / ≤64 output
+    channels the channel-last stem tensors occupy ~2–6% of each 128-lane
+    TPU tile, and the SlowFast fast-pathway stem alone measured ~24% of
+    the whole BYOL step at <2% MXU utilization. The MLPerf-era "conv0
+    space-to-depth" transform packs 2×2 spatial blocks into channels
+    ([B,T,H,W,C] → [B,T,H/2,W/2,4C]) and convolves with a losslessly
+    remapped stride-1 [t,4,4,4C,O] kernel — 4× the lane utilization on
+    the input side, identical math.
+
+    The parameter keeps the plain layout/shape ``[t,7,7,C,O]`` under the
+    same ``kernel`` name, rearranged at trace time by pure pad/reshape/
+    transpose — checkpoints interoperate with the nn.Conv path and
+    autodiff maps gradients back through the rearrangement exactly.
+
+    Derivation: output pixel i reads input pixels 2i+dh, dh∈[-3,3]. On
+    the half-res grid, 2i+dh lives in cell i+a at parity p where
+    dh = 2a+p-? … concretely dh = 2(ah−2)+ph with kernel cell index
+    ah∈[0,4) and parity ph∈{0,1}, so the original tap index is
+    dh+3 = 2·ah+ph−1 — i.e. the 7 taps padded FRONT to 8 and regrouped
+    as (cell, parity); the (ah=0, ph=0) slot is the zero pad. Cell
+    padding is asymmetric (2 left, 1 right), which lax.conv supports.
+    """
+
+    features: int
+    temp_kernel: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kt = self.temp_kernel
+        b, t, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        kernel = self.param(
+            "kernel", msra_init, (kt, 7, 7, c, self.features)
+        )
+        # input: pack 2x2 spatial blocks into channels, order (ph, pw, c)
+        x2 = x.reshape(b, t, h // 2, 2, w // 2, 2, c)
+        x2 = x2.transpose(0, 1, 2, 4, 3, 5, 6)
+        x2 = x2.reshape(b, t, h // 2, w // 2, 4 * c)
+        # kernel: front-pad each spatial dim (7 -> 8 taps), regroup into
+        # (cell ah, parity ph) x (cell aw, parity pw)
+        wp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = wp.reshape(kt, 4, 2, 4, 2, c, self.features)
+        w2 = w2.transpose(0, 1, 3, 2, 4, 5, 6)
+        w2 = w2.reshape(kt, 4, 4, 4 * c, self.features)
+        dtype = self.dtype or x.dtype
+        return jax.lax.conv_general_dilated(
+            x2.astype(dtype),
+            w2.astype(dtype),
+            window_strides=(1, 1, 1),
+            padding=((kt // 2, kt // 2), (2, 1), (2, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
 
 
 def max_pool_3d(x, window: Sequence[int], strides: Sequence[int], padding):
@@ -26,25 +86,35 @@ def max_pool_3d(x, window: Sequence[int], strides: Sequence[int], padding):
 
 class ResNetBasicStem(nn.Module):
     """conv(t,7,7)/s(1,2,2) -> BN -> ReLU -> maxpool(1,3,3)/s(1,2,2)
-    (reference stem_helper.py ResNetBasicStem)."""
+    (reference stem_helper.py ResNetBasicStem). ``s2d`` computes the conv
+    in space-to-depth form (same param, see SpaceToDepthStemConv)."""
 
     dim_out: int
     temp_kernel: int
     norm: Callable
     dtype: Optional[jnp.dtype] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = nn.Conv(
-            self.dim_out,
-            kernel_size=(self.temp_kernel, 7, 7),
-            strides=(1, 2, 2),
-            padding=((self.temp_kernel // 2,) * 2, (3, 3), (3, 3)),
-            use_bias=False,
-            kernel_init=msra_init,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.s2d and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0:
+            x = SpaceToDepthStemConv(
+                features=self.dim_out,
+                temp_kernel=self.temp_kernel,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.dim_out,
+                kernel_size=(self.temp_kernel, 7, 7),
+                strides=(1, 2, 2),
+                padding=((self.temp_kernel // 2,) * 2, (3, 3), (3, 3)),
+                use_bias=False,
+                kernel_init=msra_init,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = self.norm(name="bn", dtype=self.dtype)(x, train)
         x = nn.relu(x)
         x = max_pool_3d(

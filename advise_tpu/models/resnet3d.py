@@ -84,6 +84,7 @@ class ResNet3D(nn.Module):
             temp_kernel=temp_kernel[0][0],
             norm=self.norm,
             dtype=self.dtype,
+            s2d=cfg.TPU.STEM_S2D,
             name="s1",
         )(x, train)
 

@@ -1,0 +1,108 @@
+"""TPU.STEM_S2D: the space-to-depth stem conv must be the SAME linear
+map as the plain (t,7,7)/s(1,2,2) conv — identical params, matching
+forward outputs and gradients (float-assoc tolerance only)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advise_tpu.models.layers.stem import ResNetBasicStem, SpaceToDepthStemConv
+
+
+class _Identity:
+    """norm stub: BN off so the conv output is compared directly."""
+
+    def __init__(self, name=None, dtype=None):
+        pass
+
+    def __call__(self, x, train):
+        return x
+
+
+def _norm_stub(name=None, dtype=None):
+    class _M:
+        def __call__(self, x, train):
+            return x
+    return _M()
+
+
+@pytest.mark.parametrize("c_in,c_out,temp_k", [(3, 8, 5), (3, 64, 1)])
+def test_s2d_conv_matches_plain(c_in, c_out, temp_k):
+    from flax import linen as nn
+
+    from advise_tpu.models.layers.common import msra_init
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(size=(2, 4, 32, 32, c_in)).astype(np.float32)
+    )
+    plain = nn.Conv(
+        c_out,
+        kernel_size=(temp_k, 7, 7),
+        strides=(1, 2, 2),
+        padding=((temp_k // 2,) * 2, (3, 3), (3, 3)),
+        use_bias=False,
+        kernel_init=msra_init,
+    )
+    s2d = SpaceToDepthStemConv(features=c_out, temp_kernel=temp_k)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    # the s2d module uses the SAME param name/shape
+    v2 = s2d.init(jax.random.PRNGKey(1), x)
+    assert (
+        v2["params"]["kernel"].shape == v["params"]["kernel"].shape
+    )
+    ref = plain.apply(v, x)
+    got = s2d.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+    # gradient parity w.r.t. the shared kernel
+    def loss_plain(k):
+        return jnp.sum(plain.apply({"params": {"kernel": k}}, x) ** 2)
+
+    def loss_s2d(k):
+        return jnp.sum(s2d.apply({"params": {"kernel": k}}, x) ** 2)
+
+    k0 = v["params"]["kernel"]
+    g1 = jax.grad(loss_plain)(k0)
+    g2 = jax.grad(loss_s2d)(k0)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=5e-3, atol=5e-3
+    )
+
+
+def test_stem_s2d_in_module_same_param_path():
+    """ResNetBasicStem with s2d=True creates the identical 'conv/kernel'
+    param and reproduces the plain stem's output."""
+    def norm_factory(name=None, dtype=None):
+        return lambda x, train: x
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 4, 32, 32, 3)).astype(np.float32))
+    stem_a = ResNetBasicStem(
+        dim_out=8, temp_kernel=5, norm=norm_factory, s2d=False
+    )
+    stem_b = ResNetBasicStem(
+        dim_out=8, temp_kernel=5, norm=norm_factory, s2d=True
+    )
+    va = stem_a.init(jax.random.PRNGKey(0), x, False)
+    vb = stem_b.init(jax.random.PRNGKey(0), x, False)
+    assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+    out_a = stem_a.apply(va, x, False)
+    out_b = stem_b.apply(va, x, False)  # SAME params through the s2d path
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_a), rtol=2e-4, atol=2e-4
+    )
+
+    # odd input sizes fall back to the plain conv (no crash, same result)
+    x_odd = jnp.asarray(
+        rng.normal(size=(1, 4, 30, 30, 3)).astype(np.float32)
+    )
+    out_odd = stem_b.apply(va, x_odd, False)
+    ref_odd = stem_a.apply(va, x_odd, False)
+    np.testing.assert_allclose(
+        np.asarray(out_odd), np.asarray(ref_odd), rtol=2e-4, atol=2e-4
+    )
