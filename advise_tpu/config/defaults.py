@@ -330,6 +330,12 @@ _C.AUG.FUSED_RA = True
 _C.AUG.RE_PROB = 0.0
 _C.AUG.RE_MODE = "pixel"
 _C.AUG.RE_COUNT = 1
+# Chunk width for the per-clip RandAugment dispatch map (1 = fully
+# sequential lax.map). >1 vmaps chunks of clips: the color-op lax.switch
+# then executes EVERY op on each chunk (more data traffic) but amortizes
+# the per-clip dispatch latency the device trace showed (~100 ms/step
+# serial at bs16; BASELINE.md). Tune per chip/batch; semantics identical.
+_C.AUG.RA_MAP_BATCH = 1
 # Masked-pretrain mask geometry (restored; reference models/masked.py reads
 # cfg.AUG.MASK_RATIO / MASK_TUBE / MASK_FRAMES).
 _C.AUG.MASK_RATIO = 0.75

@@ -37,6 +37,13 @@ import jax.numpy as jnp
 LUMA = jnp.array([0.299, 0.587, 0.114], jnp.float32)
 
 
+def _map_batch(cfg) -> dict:
+    """kwargs for the per-clip aug `lax.map`: AUG.RA_MAP_BATCH > 1 chunks
+    the map into vmapped batches (identical semantics; see defaults.py)."""
+    n = int(getattr(cfg.AUG, "RA_MAP_BATCH", 1) or 1)
+    return {"batch_size": n} if n > 1 else {}
+
+
 def _round_u8(x: jnp.ndarray) -> jnp.ndarray:
     """PIL stores after each enhance op as uint8: round half away from zero,
     clip to [0, 255]. Stay in float to keep the op chain fused."""
@@ -409,7 +416,11 @@ def make_aa_aug(cfg):
             keys = jax.random.split(key, bsz * k)
             # lax.map (not vmap) keeps the color-phase lax.switch a true
             # runtime branch — see the note in the exact path below.
-            out = jax.lax.map(lambda args: one_clip_fused(*args), (flat, keys))
+            # AUG.RA_MAP_BATCH > 1 vmaps chunks (latency/traffic trade).
+            out = jax.lax.map(
+                lambda args: one_clip_fused(*args), (flat, keys),
+                **_map_batch(cfg),
+            )
             return out.reshape(bsz, k, *out.shape[1:])
 
         return apply_fused
@@ -438,7 +449,10 @@ def make_aa_aug(cfg):
         # lax.switch lowers to selects that EXECUTE all 15 branches per
         # slot (measured ~100x blowup); a sequential map keeps the switch
         # a true runtime branch, so each clip runs only its sampled ops.
-        out = jax.lax.map(lambda args: one_clip(*args), (flat, keys))
+        # AUG.RA_MAP_BATCH > 1 vmaps chunks (latency/traffic trade).
+        out = jax.lax.map(
+            lambda args: one_clip(*args), (flat, keys), **_map_batch(cfg)
+        )
         return out.reshape(bsz, k, *out.shape[1:])
 
     return apply
