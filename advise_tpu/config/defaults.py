@@ -323,9 +323,20 @@ _C.AUG.TRAIN_JITTER_MOTION_SHIFT = False
 _C.AUG.REFERENCE_EXACT_HUE = True
 # Fused RandAugment fast path: compose RRC + sampled geometric ops + flip
 # into one bilinear gather per clip (single resample; color ops applied
-# post-warp in sampled order). False = sequential op-exact PIL semantics.
-# See data/rand_augment.py make_fused_rand_augment for the semantics delta.
-_C.AUG.FUSED_RA = True
+# post-warp in sampled order). False (default) = sequential op-exact PIL
+# semantics, matching the repo convention that non-exact fast paths land
+# off-by-default (cf. TPU.STEM_S2D, AUG.REFERENCE_EXACT_HUE); the perf
+# presets enable it explicitly. See data/rand_augment.py
+# make_fused_rand_augment for the semantics delta.
+_C.AUG.FUSED_RA = False
+# Batched slot-phase execution of the fused path's color ops: instead of a
+# serial per-clip lax.map (dispatch-bound, ~19% of the SlowFast-BYOL step
+# in the round-2 device trace), each RandAugment slot runs ONCE over the
+# whole clip batch — value ops via per-frame-channel 256-entry LUTs
+# applied as one-hot matmuls on the MXU, saturation/sharpness as fused
+# elementwise/stencil passes, op selection by per-clip mask. Bit-exact vs
+# the per-clip fused path (parity-tested); only applies with FUSED_RA.
+_C.AUG.RA_BATCHED = True
 # Random erasing (timm semantics; reference datasets/random_erasing.py).
 _C.AUG.RE_PROB = 0.0
 _C.AUG.RE_MODE = "pixel"

@@ -384,9 +384,12 @@ def make_fused_rand_augment(config_str: str, num_ops: Optional[int] = None):
     Documented deviations from the sequential reference semantics
     (datasets/rand_augment.py:339-533): single resample instead of repeated
     bilinear passes (less interpolation blur, no antialias on the RRC
-    downscale), color ops see the post-warp frame regardless of sampled
-    order, and fill pixels are not color-transformed. Distributionally the
-    aug is unchanged; set AUG.FUSED_RA=False for op-exact PIL semantics.
+    downscale), and color ops see the post-warp frame regardless of
+    sampled order — which also means every sampled color op is applied to
+    the whole warped frame INCLUDING the gray fill pixels, even color ops
+    that were sampled before the geometry in the sequential order (there
+    they would have run pre-fill). Distributionally the aug is unchanged;
+    set AUG.FUSED_RA=False for op-exact PIL semantics.
 
     Returns ``(plan, color_apply)``:
       plan(rng)  -> dict with 'mats' [n,3,3], 'is_geo' [n], 'sel' [n],

@@ -159,15 +159,27 @@ def _vmap_views_apply(model, params, batch_stats, views_stacked, rng):
     Deviation (documented): the mutated BN running stats of the views are
     averaged instead of chained sequentially — normalization in train mode
     uses batch statistics, so only the running-stat bookkeeping differs.
-    Returns (outs with leading view dim, averaged batch_stats)."""
-    def one(v):
+    Returns (outs with leading view dim, averaged batch_stats).
+
+    ``rng`` may be a single key (shared by all views, matching the
+    sequential online-view path which reuses one key) or a stacked
+    ``[n_views]`` key array (per-view dropout/drop-path masks, matching
+    the sequential ``compute_keys`` fold_in-per-view path — a shared key
+    would correlate the momentum keys for stochastic encoders)."""
+
+    def one(v, r):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             v, train=True, mutable=["batch_stats"],
-            rngs={"dropout": rng} if rng is not None else None,
+            rngs={"dropout": r} if r is not None else None,
         )
 
-    out, mutated = jax.vmap(one)(views_stacked)
+    if rng is None:
+        out, mutated = jax.vmap(lambda v: one(v, None))(views_stacked)
+    elif rng.ndim >= 2:  # stacked per-view keys [n_views, key_dims...]
+        out, mutated = jax.vmap(one)(views_stacked, rng)
+    else:
+        out, mutated = jax.vmap(lambda v: one(v, rng))(views_stacked)
     new_bs = jax.tree_util.tree_map(
         lambda x: x.mean(axis=0), mutated.get("batch_stats", batch_stats)
     ) if mutated else batch_stats
@@ -198,9 +210,12 @@ def compute_keys(cfg, model, ssl, views, rng):
     ema_bs = ssl["ema_batch_stats"]
     if cfg.TPU.VMAP_VIEWS and not shuffle_on and len(views) > 1:
         stacked = jax.lax.stop_gradient(jnp.stack(views))
+        # per-view keys, same fold-in schedule as the sequential path below
+        view_keys = jnp.stack(
+            [jax.random.fold_in(rng, 100 + i) for i in range(len(views))]
+        )
         out, ema_bs = _vmap_views_apply(
-            model, ssl["ema_params"], ema_bs, stacked,
-            jax.random.fold_in(rng, 100),
+            model, ssl["ema_params"], ema_bs, stacked, view_keys,
         )
         proj = out[0] if isinstance(out, (list, tuple)) else out
         keys = [
