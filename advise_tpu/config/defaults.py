@@ -193,6 +193,15 @@ _C.CONTRASTIVE.SEQUENTIAL = False
 _C.CONTRASTIVE.SIMCLR_DIST_ON = True
 _C.CONTRASTIVE.SWAV_QEUE_LEN = 0
 _C.CONTRASTIVE.KNN_ON = True
+# Online kNN monitor (reference init_knn_labels + eval_knn,
+# models/contrastive.py:143-149,233-241): with KNN_ON, the trainer fills
+# a label bank from the train dataset and probes kNN top-1 against the
+# kNN feature memory at each epoch end over this many fresh train
+# batches (0 disables the probe; the bank still updates).
+_C.CONTRASTIVE.KNN_EVAL_BATCHES = 2
+# similarity-weighted vote over the top-k neighbors (temperature follows
+# CONTRASTIVE.T at probe time)
+_C.CONTRASTIVE.KNN_K = 200
 
 # -----------------------------------------------------------------------------
 # Training options

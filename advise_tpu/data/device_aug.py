@@ -375,6 +375,7 @@ def make_aa_aug(cfg):
     from advise_tpu.data.erasing import random_erasing_clip
     from advise_tpu.data.rand_augment import (
         fused_warp_coords,
+        make_batched_color_apply,
         make_fused_rand_augment,
         make_rand_augment,
         warp_gather,
@@ -389,6 +390,47 @@ def make_aa_aug(cfg):
 
     if cfg.AUG.FUSED_RA:
         ra_plan, ra_color = make_fused_rand_augment(cfg.AUG.AA_TYPE)
+
+        if getattr(cfg.AUG, "RA_BATCHED", False):
+            # Batched execution: vmapped geometry (warp has no branches)
+            # + slot-phase color over the whole batch (see
+            # make_batched_color_apply) — replaces the serial per-clip
+            # lax.map, bit-exact (parity test in tests/test_advanced_aug).
+            ra_color_batched = make_batched_color_apply(cfg.AUG.AA_TYPE)
+
+            def geom_one(clip_u8, sub):
+                k_box, k_ra, k_flip, k_re = sub[0], sub[1], sub[2], sub[3]
+                t, h, w, c = clip_u8.shape
+                box = sample_rrc_box(k_box, h, w, scale, ratio)
+                p = ra_plan(k_ra, size)
+                flip = (
+                    jax.random.uniform(k_flip, ()) < 0.5
+                    if cfg.AUG.RANDOM_FLIP
+                    else jnp.asarray(False)
+                )
+                sx, sy, valid = fused_warp_coords(p, box, flip, size)
+                clip = warp_gather(clip_u8.astype(jnp.float32), sx, sy, valid)
+                return clip, p, k_re
+
+            def apply_batched(batch_u8, key):
+                bsz, k = batch_u8.shape[:2]
+                flat = batch_u8.reshape(bsz * k, *batch_u8.shape[2:])
+                keys = jax.random.split(key, bsz * k)
+                # same per-clip sub-key derivation as one_clip_fused
+                subs = jax.vmap(lambda kk: jax.random.split(kk, 4))(keys)
+                clips, plans, k_res = jax.vmap(geom_one)(flat, subs)
+                clips = ra_color_batched(clips, plans)
+                if re_prob > 0:
+                    clips = jax.vmap(
+                        lambda cl, kk: random_erasing_clip(
+                            cl, kk, probability=re_prob,
+                            mode=cfg.AUG.RE_MODE, count=cfg.AUG.RE_COUNT,
+                        )
+                    )(clips, k_res)
+                out = normalize(clips, mean, std)
+                return out.reshape(bsz, k, *out.shape[1:])
+
+            return apply_batched
 
         def one_clip_fused(clip_u8, key):
             k_box, k_ra, k_flip, k_re = jax.random.split(key, 4)

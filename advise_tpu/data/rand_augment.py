@@ -120,6 +120,12 @@ def solarize(clip, thresh):
 
 
 def solarize_add(clip, add, thresh=128.0):
+    """timm solarize_add: the magnitude is converted with int() before the
+    LUT build (``int((level/_MAX_LEVEL) * 110)``), so the added constant is
+    integral and the output stays on the uint8 grid — floored here to
+    match (and to keep the whole color chain integer-valued, which the
+    batched slot-phase executor relies on)."""
+    add = jnp.floor(add)
     return jnp.where(clip < thresh, jnp.clip(clip + add, 0, 255), clip)
 
 
@@ -139,29 +145,35 @@ def autocontrast(clip, _v=None):
 def equalize(clip, _v=None):
     """Histogram equalization per frame+channel (PIL equalize).
 
-    TPU formulation: both the 256-bin histogram and the LUT application run
-    as comparison-generated matmuls on the MXU (XLA fuses the one-hot
-    operand generation into the dot tiles, so nothing big materializes):
+    TPU formulation — nibble (high/low 4-bit) decomposition. The naive
+    forms are 256-wide per-pixel one-hot work on the VPU (measured round 2:
+    hist 3.6 ms + monotone-LUT apply 5.5 ms at 96 rows x 50k px, the
+    single most expensive RandAugment op and most of the serial color
+    phase's ~100 ms/step). Writing x = 16*hi + lo cuts the per-pixel
+    comparison width 256 -> 3x16 and turns both passes into MXU
+    contractions over 16-wide one-hots:
 
-      hist[r, b] = ones[p] . (x[r, p] == b)               3.6 ms
-      out[r, p]  = lut[r, 0] + (x[r, p] >= b) . dlut[r, b]  (monotone LUT)
+      hist[r, 16h+l] = sum_p [hi==h][lo==l]          einsum('rph,rpl->rhl')
+      lut[x] = lut[0] + sum_{j<x} dlut[j]
+             = lut[0] + sum_h [h<hi] S[r,h]                     (term 1)
+                      + sum_h [h==hi] sum_l [l<lo] dlutB[r,h,l] (term 2)
 
-    vs 45 ms for a vmapped bincount (scatter-add serializes on TPU) and
-    ~50 ms for a take-based LUT gather — measured at 96 rows x 50k px.
-    All counts/values are integers < 2^24 accumulated in f32: exact, PIL
-    golden tests unchanged. The >= comparison (not ==) in the apply pass
-    also stops XLA CSE from trying to share a materialized one-hot.
+    with S the per-16-block sums of dlut and dlutB = dlut.reshape(16,16).
+    Everything stays exact: one-hots are {0,1}, dlut increments and their
+    16-wide partial sums are integers <= 255 (bf16-exact), histogram
+    counts <= h*w < 2^24 accumulate in f32.
     """
     t, h, w, c = clip.shape
     x = jnp.clip(clip, 0, 255).astype(jnp.int32)
     flat = x.transpose(0, 3, 1, 2).reshape(t * c, h * w)
-    iota = jnp.arange(256, dtype=jnp.int32)
+    hi4 = flat >> 4  # [r, p] in [0, 16)
+    lo4 = flat & 15
+    iota16 = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = (hi4[:, :, None] == iota16).astype(jnp.bfloat16)  # [r, p, 16]
+    oh_lo = (lo4[:, :, None] == iota16).astype(jnp.bfloat16)
     hist = jnp.einsum(
-        "p,rpb->rb",
-        jnp.ones((h * w,), jnp.bfloat16),
-        (flat[:, :, None] == iota).astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # [TC, 256] exact counts
+        "rph,rpl->rhl", oh_hi, oh_lo, preferred_element_type=jnp.float32
+    ).reshape(t * c, 256)  # exact counts
     # PIL: step = (total - last_nonzero_count) // 255
     nonzero = hist > 0
     last_idx = 255 - jnp.argmax(nonzero[:, ::-1], axis=1)
@@ -177,16 +189,28 @@ def equalize(clip, _v=None):
         0,
         255,
     )
-    # the equalize LUT is non-decreasing (clipped scaled cumsum), so the
-    # apply pass is lut[0] + sum_b (x >= b) * (lut[b] - lut[b-1]) — integer
-    # increments in [0, 255], exactly representable in bf16 products.
-    dlut = jnp.diff(lut, axis=1)  # [TC, 255]
-    out = lut[:, :1] + jnp.einsum(
-        "rpb,rb->rp",
-        (flat[:, :, None] >= iota[1:]).astype(jnp.bfloat16),
-        dlut.astype(jnp.bfloat16),
+    # monotone apply via the nibble split of sum_{j<x} dlut[j]
+    dlut = jnp.concatenate(
+        [jnp.diff(lut, axis=1), jnp.zeros((t * c, 1), jnp.float32)], axis=1
+    )  # [r, 256], dlut[255] = 0 (j = 255 < x is impossible)
+    dlut_b = dlut.reshape(t * c, 16, 16)  # [r, jh, jl]
+    blk = jnp.sum(dlut_b, axis=2)  # [r, 16] per-block sums, ints <= 255
+    lt_hi = (iota16 < hi4[:, :, None]).astype(jnp.bfloat16)  # [r, p, 16]
+    term1 = jnp.einsum(
+        "rph,rh->rp", lt_hi, blk.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
+    lt_lo = (iota16 < lo4[:, :, None]).astype(jnp.bfloat16)
+    # within-block prefix for every block, then pick the hi block:
+    # w2[r,p,h] = sum_l [l < lo] dlutB[r,h,l]  (ints <= 255, bf16-exact)
+    w2 = jnp.einsum(
+        "rpl,rhl->rph", lt_lo, dlut_b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.bfloat16,
+    )
+    term2 = jnp.einsum(
+        "rph,rph->rp", w2, oh_hi, preferred_element_type=jnp.float32
+    )
+    out = lut[:, :1] + term1 + term2
     out = out.reshape(t, c, h, w).transpose(0, 2, 3, 1)
     return jnp.where((step > 0)[:, None].reshape(t, 1, 1, c), out, clip)
 
@@ -214,9 +238,9 @@ def _signed(rng, v):
     return v * jnp.where(jax.random.bernoulli(rng, 0.5), 1.0, -1.0)
 
 
-def make_rand_augment(config_str: str, num_ops: Optional[int] = None):
+def _parse_ra_config(config_str: str, num_ops: Optional[int] = None):
     """Parse 'rand-m7-n4-mstd0.5-inc1' (reference rand_augment_transform
-    :445-533) and return apply(clip_u8f [T,H,W,C], rng) -> clip."""
+    :445-533) -> (magnitude, n, mstd, inc)."""
     magnitude, n, mstd, inc = 10.0, 2, 0.0, False
     for part in config_str.split("-")[1:]:
         m = re.match(r"([a-z]+)([\d.]+)", part)
@@ -233,6 +257,13 @@ def make_rand_augment(config_str: str, num_ops: Optional[int] = None):
             inc = bool(int(val))
     if num_ops is not None:
         n = num_ops
+    return magnitude, n, mstd, inc
+
+
+def make_rand_augment(config_str: str, num_ops: Optional[int] = None):
+    """RandAugment, op-exact sequential path: apply(clip_u8f [T,H,W,C],
+    rng) -> clip (reference rand_augment_transform :445-533)."""
+    magnitude, n, mstd, inc = _parse_ra_config(config_str, num_ops)
 
     def lvl(m_eff, frac):
         return m_eff / _LEVEL_DENOM * frac
@@ -396,22 +427,7 @@ def make_fused_rand_augment(config_str: str, num_ops: Optional[int] = None):
                     'm_eff' [n], 'keys' [n] — all drawn up front
       color_apply(clip, plan) -> clip with the color slots applied in order
     """
-    magnitude, n, mstd, inc = 10.0, 2, 0.0, False
-    for part in config_str.split("-")[1:]:
-        m = re.match(r"([a-z]+)([\d.]+)", part)
-        if not m:
-            continue
-        key, val = m.group(1), m.group(2)
-        if key == "m":
-            magnitude = float(val)
-        elif key == "n":
-            n = int(val)
-        elif key == "mstd":
-            mstd = float(val)
-        elif key == "inc":
-            inc = bool(int(val))
-    if num_ops is not None:
-        n = num_ops
+    magnitude, n, mstd, inc = _parse_ra_config(config_str, num_ops)
 
     # the 15-op table with geometric slots as identity (color phase only)
     ops = _color_op_table(magnitude, mstd, inc)
@@ -500,6 +516,154 @@ def _color_op_table(magnitude, mstd, inc):
         ident,  # translate_x
         ident,  # translate_y
     ]
+
+
+# indices into the 15-op table (batched executor + while-loop equalize)
+OP_AUTOCONTRAST, OP_EQUALIZE, OP_INVERT = 0, 1, 2
+OP_POSTERIZE, OP_SOLARIZE, OP_SOLARIZE_ADD = 4, 5, 6
+OP_COLOR, OP_CONTRAST, OP_BRIGHTNESS, OP_SHARPNESS = 7, 8, 9, 10
+
+
+def make_batched_color_apply(config_str: str, num_ops: Optional[int] = None):
+    """Batched slot-phase executor for the fused path's color ops
+    (``AUG.RA_BATCHED``): the drop-in replacement for dispatching
+    ``lax.switch`` per clip under a serial ``lax.map`` (measured round 2:
+    ~100 ms ≈ 19% of the SlowFast-BYOL step at 32 clip-views — mostly
+    equalize invocations at VPU rates plus per-clip dispatch overhead).
+
+    Execution per slot, over the WHOLE clip batch at once:
+
+    * every cheap op (invert/solarize/solarize_add/posterize/brightness/
+      contrast/saturation/autocontrast/sharpness) is an elementwise
+      expression over shared per-frame statistics (luma, contrast mean,
+      min/max, the 3x3 smooth) — computed once and combined by per-clip
+      mask selects that XLA fuses into one pass; unlike a vmapped
+      ``lax.switch`` there is no per-branch full-array traffic because
+      nothing here is a standalone pass except the smooth stencil;
+    * equalize (the one genuinely expensive op) runs in a
+      ``lax.while_loop`` over ONLY the clips that sampled it this slot —
+      a dynamic trip count, so the cost is exactly `count x equalize`,
+      no capacity padding and no fallback;
+    * an ``optimization_barrier`` between slots stops XLA from fusing the
+      4-stage select trees into each other (the known multiplicative
+      producer-recomputation blowup, cf. color_jitter_clip).
+
+    Bit-exact vs the per-clip fused path by construction: elementwise ops
+    are IEEE-deterministic, min/max are order-free, and every float
+    reduction that feeds a result (contrast mean, equalize histogram and
+    cumsum) sums integers < 2^24 in f32 — exact in any association order.
+    Parity-tested in tests/test_advanced_aug.py.
+
+    Returns apply(clips [N,T,H,W,C], plan) with plan arrays carrying a
+    leading clip dim (the vmapped output of make_fused_rand_augment's
+    plan): sel [N,n], keys [N,n,2], m_eff [N,n].
+    """
+    magnitude, n, mstd, inc = _parse_ra_config(config_str, num_ops)
+
+    def slot(x, sel, keys, m_eff):
+        nclips, t, h, w, c = x.shape
+
+        def bc(v):  # per-clip scalar -> broadcast over [N,T,H,W,C]
+            return v[:, None, None, None, None]
+
+        def lvl(frac):
+            return m_eff / _LEVEL_DENOM * frac
+
+        # per-clip parameters, same draws/formulas as _color_op_table
+        sign = jnp.where(
+            jax.vmap(lambda k: jax.random.bernoulli(k, 0.5))(keys), 1.0, -1.0
+        )
+        enh = 1.0 + sign * lvl(0.9) if inc else lvl(1.8) + 0.1
+        sol_th = 256.0 - lvl(256.0) if inc else lvl(256.0)
+        sol_add = jnp.floor(lvl(110.0))
+        bits = jnp.floor(4.0 - lvl(4.0)) if inc else jnp.floor(lvl(4.0))
+
+        def is_op(o):
+            return bc(sel == o)
+
+        # shared statistics (order-free or exact-integer reductions)
+        lum = _luma(x)[..., None]  # [N,T,H,W,1]
+        cmean = jnp.floor(
+            jnp.mean(_luma(x), axis=(2, 3), keepdims=True) + 0.5
+        )[..., None]  # [N,T,1,1,1] — sum of ints < 2^24: exact
+        lo = jnp.min(x, axis=(2, 3), keepdims=True)  # [N,T,1,1,C]
+        hi = jnp.max(x, axis=(2, 3), keepdims=True)
+        # sharpness smooth: same shifted-add order as `sharpness` above
+        kern = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+        pad = jnp.pad(
+            x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge"
+        )
+        smooth = sum(
+            kern[i, j] * pad[:, :, i : i + h, j : j + w, :]
+            for i in range(3)
+            for j in range(3)
+        )
+        border = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
+        smooth = jnp.where(border[None, None, :, :, None], smooth, x)
+
+        res = x  # geometric slots and equalize: identity here
+        res = jnp.where(is_op(OP_INVERT), 255.0 - x, res)
+        res = jnp.where(
+            is_op(OP_SOLARIZE),
+            jnp.where(x >= bc(sol_th), 255.0 - x, x),
+            res,
+        )
+        res = jnp.where(
+            is_op(OP_SOLARIZE_ADD),
+            jnp.where(x < 128.0, jnp.clip(x + bc(sol_add), 0, 255), x),
+            res,
+        )
+        bits_i = jnp.clip(bits.astype(jnp.int32), 0, 8)
+        shift = bc(8 - bits_i)
+        post = jnp.left_shift(
+            jnp.right_shift(x.astype(jnp.int32), shift), shift
+        ).astype(jnp.float32)
+        res = jnp.where(is_op(OP_POSTERIZE) & bc(bits >= 1), post, res)
+        res = jnp.where(is_op(OP_BRIGHTNESS), _round_u8(x * bc(enh)), res)
+        res = jnp.where(
+            is_op(OP_CONTRAST), _round_u8(cmean + bc(enh) * (x - cmean)), res
+        )
+        res = jnp.where(
+            is_op(OP_COLOR), _round_u8(lum + bc(enh) * (x - lum)), res
+        )
+        res = jnp.where(
+            is_op(OP_SHARPNESS),
+            _round_u8(smooth + bc(enh) * (x - smooth)),
+            res,
+        )
+        scale = 255.0 / jnp.maximum(hi - lo, 1.0)
+        ac = jnp.where(hi > lo, _round_u8((x - lo) * scale), x)
+        res = jnp.where(is_op(OP_AUTOCONTRAST), ac, res)
+
+        # equalize: dynamic-trip while over exactly the sampled clips
+        eq = sel == OP_EQUALIZE
+        count = jnp.sum(eq.astype(jnp.int32))
+        order = jnp.argsort(jnp.logical_not(eq))  # equalize clips first
+
+        def body(carry):
+            xx, j = carry
+            idx = order[j]
+            clip_j = jax.lax.dynamic_index_in_dim(xx, idx, 0, keepdims=False)
+            xx = jax.lax.dynamic_update_index_in_dim(
+                xx, equalize(clip_j), idx, 0
+            )
+            return xx, j + 1
+
+        res, _ = jax.lax.while_loop(
+            lambda carry: carry[1] < count, body, (res, jnp.int32(0))
+        )
+        return res
+
+    def apply(clips, plan):
+        for i in range(n):
+            clips = slot(
+                clips, plan["sel"][:, i], plan["keys"][:, i],
+                plan["m_eff"][:, i],
+            )
+            clips = jax.lax.optimization_barrier(clips)
+        return clips
+
+    return apply
 
 
 def fused_warp_coords(plan, box, flip, size: int):

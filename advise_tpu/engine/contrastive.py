@@ -558,18 +558,36 @@ def eval_knn(ssl, q: jnp.ndarray, knn_k: int = 200):
 
 
 def knn_probe(cfg, ssl, labels_bank: jnp.ndarray, feats: jnp.ndarray,
-              labels: jnp.ndarray, knn_k: int = 200, t: float = 0.07):
+              labels: jnp.ndarray, knn_k: int = 200, t: float = 0.07,
+              num_classes: Optional[int] = None):
     """Online kNN classification accuracy against the kNN memory bank
     (reference ContrastiveModel.eval_knn + the kNN protocol of instance
     discrimination: similarity-weighted vote over the top-k neighbors).
 
-    labels_bank: [LENGTH] class id per bank row; feats: [N, dim]
-    l2-normalized query features; labels: [N]. Returns top-1 accuracy.
+    labels_bank: [LENGTH] class id per bank row (-1 = empty/padding row,
+    its vote is dropped); feats: [N, dim] l2-normalized query features;
+    labels: [N]. Returns top-1 accuracy. ``num_classes`` must be passed
+    when tracing under jit (the eager fallback reads it off the bank).
     """
     yd, yi = eval_knn(ssl, feats, knn_k)
     neigh_labels = labels_bank[yi]  # [N, k]
     w = jnp.exp(yd / t)
-    num_classes = int(labels_bank.max()) + 1
+    if num_classes is None:
+        num_classes = int(labels_bank.max()) + 1
+    # one_hot(-1) is all-zero: padded bank rows contribute no vote
     votes = jax.nn.one_hot(neigh_labels, num_classes) * w[..., None]
     pred = jnp.argmax(votes.sum(axis=1), axis=-1)
     return jnp.mean((pred == labels).astype(jnp.float32))
+
+
+def knn_labels_from_dataset(dataset, length: int) -> jnp.ndarray:
+    """Label bank for the online kNN monitor (reference init_knn_labels,
+    models/contrastive.py:143-149: train_labels from the train loader's
+    dataset). Row i = class id of item i; rows past the dataset are -1
+    (no vote)."""
+    import numpy as np
+
+    labels = np.full((length,), -1, np.int32)
+    n = min(len(dataset.items), length)
+    labels[:n] = np.asarray([cls for _, cls in dataset.items[:n]], np.int32)
+    return jnp.asarray(labels)

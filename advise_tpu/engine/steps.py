@@ -584,6 +584,60 @@ def make_tmodeling_train_step(cfg, mesh, model, bundle, device_aug):
     return jax.jit(sharded, donate_argnums=(0,) if cfg.TPU.DONATE else ())
 
 
+def make_knn_probe_step(cfg, mesh, model, device_aug: Optional[Callable]):
+    """Epoch-end online kNN monitor (reference eval-mode eval_knn returns,
+    models/contrastive.py:233-241 used at :388,:475,:546,:607,:684,:745):
+    eval forward of the first view -> l2-normalized projection -> top-k
+    vote against ssl['knn_mem'] with ssl['knn_labels'].
+
+    Signature: (params, batch_stats, ssl, clips_u8, infos, rng) -> acc
+    (global batch top-1, pmean'd over the mesh)."""
+    from advise_tpu.engine.contrastive import (
+        _proj_and_preds,
+        knn_probe,
+        l2_normalize,
+    )
+    from advise_tpu.parallel.mesh import mesh_batch_axes
+
+    compute_dtype = (
+        jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    )
+    auto = cfg.TPU.PARTITION_MODE == "auto"
+    axes = () if auto else mesh_batch_axes(mesh)
+    knn_k = int(cfg.CONTRASTIVE.KNN_K)
+    num_classes = int(cfg.MODEL.NUM_CLASSES)
+
+    def per_device(params, batch_stats, ssl, clips_u8, infos, rng):
+        my = replica_index(axes)
+        rng = jax.random.fold_in(rng, my)
+        clips = device_aug(clips_u8, rng) if device_aug is not None else clips_u8
+        clips = clips.astype(compute_dtype)
+        x = clips[:, 0]  # first view
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        proj, _ = _proj_and_preds(out)
+        q = l2_normalize(proj.astype(jnp.float32))
+        acc = knn_probe(
+            cfg, ssl, ssl["knn_labels"], q, infos["cls_id"],
+            knn_k=knn_k, t=cfg.CONTRASTIVE.T, num_classes=num_classes,
+        )
+        if axes:
+            acc = jax.lax.pmean(acc, axes)
+        return acc
+
+    if auto:
+        return jax.jit(per_device)
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axes), P(axes), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_eval_step(cfg, mesh, model, device_aug: Optional[Callable]):
     """Forward-only step returning per-device logits and labels gathered
     back as global arrays (for validation confusion matrices).

@@ -40,7 +40,8 @@ TASK_INFO_FIELDS = {
 
 def select_infos(cfg, infos: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
-        fields = ("item_id", "time_idx")  # time_idx: 2D memory bank slot
+        # cls_id feeds the epoch-end online kNN probe
+        fields = ("item_id", "time_idx", "cls_id")
     else:
         fields = TASK_INFO_FIELDS.get(cfg.TASK, ())
     return {k: infos[k] for k in fields if k in infos}

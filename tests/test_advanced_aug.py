@@ -154,6 +154,63 @@ def test_aa_device_aug_end_to_end(fused):
     assert np.asarray(out).std() > 0.1
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ra_batched_bit_exact_vs_serial_fused(seed):
+    """AUG.RA_BATCHED (vmapped warp + slot-phase color + while-loop
+    equalize) must be BIT-EXACT vs the per-clip serial fused path: same
+    key -> identical plans -> identical output. Elementwise ops are
+    IEEE-deterministic and every reduction feeding a result is either
+    order-free (min/max) or an exact integer sum in f32 (contrast mean,
+    equalize histogram)."""
+    cfg = get_cfg()
+    cfg.AUG.TYPE = "aa"
+    cfg.AUG.TARGET_SIZE = 32
+    # n8 makes each clip draw 8 slots: high op coverage per key
+    cfg.AUG.AA_TYPE = "rand-m7-n8-mstd0.5-inc1"
+    cfg.AUG.RE_PROB = 0.25
+    cfg.AUG.FUSED_RA = True
+    batch = np.random.default_rng(seed).integers(
+        0, 256, (3, 2, 4, 40, 48, 3), np.uint8
+    )
+    key = jax.random.PRNGKey(seed)
+    outs = {}
+    for batched in (False, True):
+        cfg.AUG.RA_BATCHED = batched
+        aug = build_device_aug(cfg, "train")
+        outs[batched] = np.asarray(jax.jit(aug)(jnp.asarray(batch), key))
+    np.testing.assert_array_equal(outs[True], outs[False])
+
+
+def test_ra_batched_covers_equalize():
+    """Force every slot to be equalize-heavy (n1, several clips) and check
+    the while-loop path actually equalizes: with magnitude tables the op
+    draw is uniform, so over enough clips/keys at least one equalize runs
+    and the output differs from a no-color-op warp."""
+    from advise_tpu.data import rand_augment as ra_mod
+
+    apply = ra_mod.make_batched_color_apply("rand-m7-n2-mstd0.5-inc1")
+    n_clips, n_slots = 6, 2
+    clips = jnp.asarray(
+        np.random.default_rng(3).integers(0, 256, (n_clips, 2, 16, 16, 3)),
+        jnp.float32,
+    )
+    # hand-built plan: every clip's slot 0 = equalize, slot 1 = identity(rot)
+    keys = jnp.stack(
+        [jax.random.split(jax.random.PRNGKey(i), n_slots) for i in range(n_clips)]
+    )
+    plan = {
+        "sel": jnp.tile(
+            jnp.asarray([[ra_mod.OP_EQUALIZE, ra_mod.GEO_ROTATE]]), (n_clips, 1)
+        ),
+        "keys": keys,
+        "m_eff": jnp.full((n_clips, n_slots), 7.0),
+    }
+    out = np.asarray(jax.jit(apply)(clips, plan))
+    for b in range(n_clips):
+        expect = np.asarray(ra_mod.equalize(clips[b]))
+        np.testing.assert_array_equal(out[b], expect)
+
+
 def test_fused_warp_single_rotate_matches_exact():
     """With an identity RRC box, no flip, and a plan holding exactly one
     rotate slot, the fused composed warp IS a single bilinear rotate — it
