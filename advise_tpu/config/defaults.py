@@ -202,6 +202,11 @@ _C.CONTRASTIVE.KNN_EVAL_BATCHES = 2
 # similarity-weighted vote over the top-k neighbors (temperature follows
 # CONTRASTIVE.T at probe time)
 _C.CONTRASTIVE.KNN_K = 200
+# probe with the batch's own BN statistics instead of eval-mode running
+# stats (deviation knob, default off = reference eval_knn semantics):
+# early in training the running stats are uncalibrated while the bank was
+# written from train-mode features, so the eval-mode probe under-reads
+_C.CONTRASTIVE.KNN_BATCH_STATS = False
 
 # -----------------------------------------------------------------------------
 # Training options
@@ -401,6 +406,9 @@ _C.DATA.SYNTHETIC_SIZE = 64
 _C.DATA.SYNTHETIC_LENGTH = 250
 _C.DATA.SYNTHETIC_RES = 128
 _C.DATA.SYNTHETIC_NUM_CLASSES = 101
+# class-coded synthetic content: object colors derive from cls_id, so
+# classes are visually separable (kNN / probe tests need a class signal)
+_C.DATA.SYNTHETIC_CLASS_CODED = False
 # Motion-strength multiplier of the synthetic videos (playback-speed
 # signal strength for convergence benchmarks).
 _C.DATA.SYNTHETIC_MOTION = 1.0
@@ -673,6 +681,17 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
         assert cfg.TPU.MESH_MODEL in (1, None) and not cfg.TPU.FSDP, (
             "TPU.MESH_MODEL/FSDP (tensor/fully-sharded parallelism) "
             "require TPU.PARTITION_MODE 'auto'"
+        )
+    if cfg.CONTRASTIVE.SEQUENTIAL:
+        # per-clip micro-batching (reference contrastive_forward
+        # :1120-1167) is implemented for the EMA-key algorithms on the
+        # shard_map path; reject loudly rather than silently ignoring
+        assert cfg.CONTRASTIVE.TYPE in ("byol", "moco"), (
+            "CONTRASTIVE.SEQUENTIAL supports byol/moco only"
+        )
+        assert cfg.TPU.PARTITION_MODE == "shard_map", (
+            "CONTRASTIVE.SEQUENTIAL is a shard_map-path memory lever; "
+            "use TPU.REMAT / TPU.FSDP in auto mode"
         )
     assert cfg.BN.NORM_TYPE in (
         "batchnorm",

@@ -105,6 +105,7 @@ def build_dataset(cfg, mode: str = "train") -> ClipDataset:
         synthetic_res=cfg.DATA.SYNTHETIC_RES,
         synthetic_num_classes=cfg.DATA.SYNTHETIC_NUM_CLASSES,
         synthetic_motion=cfg.DATA.SYNTHETIC_MOTION,
+        synthetic_class_coded=cfg.DATA.SYNTHETIC_CLASS_CODED,
     )
 
 

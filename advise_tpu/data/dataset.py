@@ -85,6 +85,7 @@ class ClipDataset:
         synthetic_res: int = 128,
         synthetic_num_classes: int = 101,
         synthetic_motion: float = 1.0,
+        synthetic_class_coded: bool = False,
         retries: int = 10,
     ):
         self.name = name
@@ -98,6 +99,7 @@ class ClipDataset:
         self.synthetic_res = synthetic_res
         self.synthetic_num_classes = synthetic_num_classes
         self.synthetic_motion = synthetic_motion
+        self.synthetic_class_coded = synthetic_class_coded
 
         if backend == "synthetic" or data_dir is None:
             self.backend = "synthetic"
@@ -119,6 +121,7 @@ class ClipDataset:
                 res=self.synthetic_res,
                 cls_id=self.items[idx][1],
                 motion=self.synthetic_motion,
+                class_coded=self.synthetic_class_coded,
             )
         rel, _ = self.items[idx]
         return open_video(os.path.join(self.data_dir, rel), self.backend)

@@ -203,7 +203,7 @@ class SyntheticReader(VideoReader):
     """
 
     def __init__(self, seed: int, length: int = 250, res: int = 128, cls_id: int = 0,
-                 motion: float = 1.0):
+                 motion: float = 1.0, class_coded: bool = False):
         self.seed = int(seed)
         self._length = int(length)
         self.res = int(res)
@@ -216,6 +216,13 @@ class SyntheticReader(VideoReader):
         self.vel = motion * rng.uniform(-0.02, 0.02, size=(self.n_obj, 2))
         self.size = rng.integers(max(res // 12, 4), max(res // 5, 8), size=self.n_obj)
         self.color = rng.integers(40, 255, size=(self.n_obj, 3))
+        if class_coded:
+            # DATA.SYNTHETIC_CLASS_CODED: draw object colors from the CLASS
+            # id instead of the item seed, giving the class a direct visual
+            # signature — the learnable signal for classification-style
+            # tests (kNN monitor, linear probe) on synthetic data
+            crng = np.random.default_rng(100003 + self.cls_id)
+            self.color = crng.integers(40, 255, size=(self.n_obj, 3))
         self.bg_phase = rng.uniform(0, 2 * np.pi, size=3)
 
     def __len__(self) -> int:

@@ -549,6 +549,89 @@ CONTRASTIVE_LOSSES = {
 }
 
 
+def sequential_contrastive_grads(
+    cfg, model, params, batch_stats, ssl, views, infos, rng
+):
+    """``CONTRASTIVE.SEQUENTIAL`` clip micro-batching (reference
+    contrastive_forward, models/contrastive.py:1120-1167): momentum keys
+    are precomputed for ALL clips once, then each clip runs a separate
+    query forward+backward against the other clips' keys — peak
+    activation memory of a single view, gradients ACCUMULATED (summed,
+    un-normalized, exactly like the reference's repeated .backward()
+    calls; for NUM_CLIP=2 BYOL this equals the batched symmetric loss's
+    gradient). The reported ``loss_partial`` is scaled by
+    1/(n_clips * 2) to match the reference's logging convention.
+
+    Supported for 'byol' and 'moco' (the EMA-key algorithms the
+    reference's sequential loop precomputes keys for; swav/simclr pair
+    iteration is rejected in assert_and_infer_cfg). MoCo enqueues after
+    the loop like the reference (:1166) — first-view keys, consistent
+    with the batched path here.
+
+    Returns (grads, loss_partial, new_batch_stats, new_ssl, stats).
+    """
+    ctype = cfg.CONTRASTIVE.TYPE
+    assert ctype in ("byol", "moco"), (
+        "CONTRASTIVE.SEQUENTIAL supports byol/moco only (reference "
+        "sequential pair iteration for swav/simclr is not implemented)"
+    )
+    t = cfg.CONTRASTIVE.T
+    n = len(views)
+    assert n >= 2, "CONTRASTIVE.SEQUENTIAL needs >= 2 clips"
+    keys, ema_bs = compute_keys(cfg, model, ssl, views, rng)
+    ssl = dict(ssl)
+    ssl["ema_batch_stats"] = ema_bs
+    keys_arr = jnp.stack([jax.lax.stop_gradient(k) for k in keys])  # [n,B,d]
+    stacked = jnp.stack(views)  # [n, B, ...]
+
+    def one_clip_loss(params, vid, k_idx, bs):
+        out, new_bs = _apply_backbone(model, params, bs, vid, True, rng)
+        proj, preds = _proj_and_preds(out)
+        q = l2_normalize(proj)
+        other = (jnp.arange(n) != k_idx).astype(jnp.float32)  # [n]
+        if ctype == "byol":
+            assert_msg = "BYOL requires CONTRASTIVE.PREDICTOR_DEPTHS"
+            assert preds, assert_msg
+            # sum over the OTHER keys of -mean(pred . key)/T, / (n-1)
+            # (reference :559-563: loss_reg summed over keys then /len)
+            sims = jnp.einsum("bd,nbd->n", preds[0], keys_arr) / (
+                preds[0].shape[0]
+            )
+            loss = jnp.sum(-sims / t * other) / (n - 1)
+        else:  # moco
+            queue_neg = q @ jax.lax.stop_gradient(ssl["queue_x"]).T  # [B,K]
+            pos = jnp.einsum("bd,nbd->nb", q, keys_arr)  # [n, B]
+            logits = jnp.concatenate(
+                [pos[..., None], jnp.broadcast_to(
+                    queue_neg[None], (n,) + queue_neg.shape)], axis=-1
+            ) / t  # [n, B, 1+K]
+            ce = -jax.nn.log_softmax(logits, axis=-1)[..., 0]  # [n, B]
+            loss = jnp.sum(jnp.mean(ce, axis=-1) * other) / (n - 1)
+        return loss, (new_bs, q)
+
+    def body(carry, k_idx):
+        grads_acc, loss_acc, bs = carry
+        vid = stacked[k_idx]
+        (loss_k, (new_bs, q)), g = jax.value_and_grad(
+            one_clip_loss, has_aux=True
+        )(params, vid, k_idx, bs)
+        grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+        return (grads_acc, loss_acc + loss_k, new_bs), q
+
+    zero = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), params
+    )
+    (grads, loss_sum, new_bs), qs = jax.lax.scan(
+        body, (zero, jnp.float32(0.0), batch_stats), jnp.arange(n)
+    )
+    loss_partial = loss_sum / (n * 2.0)  # reference :1164 logging scale
+    if ctype == "moco":
+        ssl = dequeue_and_enqueue(ssl, keys, batch_axes(cfg))
+    ssl = knn_update(cfg, ssl, qs[0], infos["item_id"])
+    name = "loss_byol" if ctype == "byol" else "loss_nce"
+    return grads, loss_partial, new_bs, ssl, {name: loss_partial}
+
+
 def eval_knn(ssl, q: jnp.ndarray, knn_k: int = 200):
     """(reference eval_knn :233-241): top-k similarities vs the kNN bank."""
     dist = q @ ssl["knn_mem"].T

@@ -287,6 +287,10 @@ def make_auto_train_step(cfg, mesh, model, bundle, device_aug):
         "TRAIN.SEQUENTIAL clip micro-batching is a shard_map-path memory "
         "lever; use TPU.REMAT / TPU.FSDP in auto mode"
     )
+    assert not cfg.CONTRASTIVE.SEQUENTIAL, (
+        "CONTRASTIVE.SEQUENTIAL is a shard_map-path memory lever; use "
+        "TPU.REMAT / TPU.FSDP in auto mode"
+    )
     compute_dtype = (
         jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     )
@@ -402,16 +406,31 @@ def make_contrastive_train_step(
         infos = dict(infos)
         infos["epoch_exact"] = epoch_exact
 
-        def loss_fn(params):
-            loss, new_bs, new_ssl, stats = algo(
-                cfg, model, params, state.batch_stats, ssl, views, infos,
-                drop_rng,
+        if cfg.CONTRASTIVE.SEQUENTIAL:
+            # per-clip query forward+backward with precomputed keys
+            # (reference contrastive_forward :1120-1167) — the memory
+            # lever: peak activations of ONE view
+            from advise_tpu.engine.contrastive import (
+                sequential_contrastive_grads,
             )
-            return loss, (new_bs, new_ssl, stats)
 
-        (loss, (new_bs, new_ssl, stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            grads, loss, new_bs, new_ssl, stats = (
+                sequential_contrastive_grads(
+                    cfg, model, state.params, state.batch_stats, ssl,
+                    views, infos, drop_rng,
+                )
+            )
+        else:
+            def loss_fn(params):
+                loss, new_bs, new_ssl, stats = algo(
+                    cfg, model, params, state.batch_stats, ssl, views, infos,
+                    drop_rng,
+                )
+                return loss, (new_bs, new_ssl, stats)
+
+            (loss, (new_bs, new_ssl, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
         grads = pmean_tree(grads, BATCH_AXES)
         stats = pmean_tree(stats, BATCH_AXES)
         stats["grad_norm"] = global_grad_norm(grads)
@@ -584,7 +603,8 @@ def make_tmodeling_train_step(cfg, mesh, model, bundle, device_aug):
     return jax.jit(sharded, donate_argnums=(0,) if cfg.TPU.DONATE else ())
 
 
-def make_knn_probe_step(cfg, mesh, model, device_aug: Optional[Callable]):
+def make_knn_probe_step(cfg, mesh, model, device_aug: Optional[Callable],
+                        num_classes: Optional[int] = None):
     """Epoch-end online kNN monitor (reference eval-mode eval_knn returns,
     models/contrastive.py:233-241 used at :388,:475,:546,:607,:684,:745):
     eval forward of the first view -> l2-normalized projection -> top-k
@@ -605,7 +625,16 @@ def make_knn_probe_step(cfg, mesh, model, device_aug: Optional[Callable]):
     auto = cfg.TPU.PARTITION_MODE == "auto"
     axes = () if auto else mesh_batch_axes(mesh)
     knn_k = int(cfg.CONTRASTIVE.KNN_K)
-    num_classes = int(cfg.MODEL.NUM_CLASSES)
+    # vote width must cover the DATASET's label range (the trainer passes
+    # it from the built label bank); MODEL.NUM_CLASSES is only a fallback
+    if num_classes is None:
+        num_classes = int(cfg.MODEL.NUM_CLASSES)
+
+    use_batch_stats = bool(cfg.CONTRASTIVE.KNN_BATCH_STATS)
+    assert not (use_batch_stats and auto), (
+        "CONTRASTIVE.KNN_BATCH_STATS needs the shard_map path (train-mode "
+        "BN reduces over named sync axes)"
+    )
 
     def per_device(params, batch_stats, ssl, clips_u8, infos, rng):
         my = replica_index(axes)
@@ -613,9 +642,16 @@ def make_knn_probe_step(cfg, mesh, model, device_aug: Optional[Callable]):
         clips = device_aug(clips_u8, rng) if device_aug is not None else clips_u8
         clips = clips.astype(compute_dtype)
         x = clips[:, 0]  # first view
-        out = model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=False
-        )
+        if use_batch_stats:
+            out, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+            )
+        else:
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
         proj, _ = _proj_and_preds(out)
         q = l2_normalize(proj.astype(jnp.float32))
         acc = knn_probe(

@@ -91,13 +91,21 @@ def trainer(cfg, tb_logger=None) -> TrainState:
     bundle = build_tx(cfg, state.params)
     state = state.replace(opt_state=bundle.tx.init(state.params))
     if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
-        from advise_tpu.engine.contrastive import init_ssl_state
-
-        state = state.replace(
-            ssl=init_ssl_state(
-                cfg, state.params, state.batch_stats, jax.random.fold_in(rng, 7)
-            )
+        from advise_tpu.engine.contrastive import (
+            init_ssl_state,
+            knn_labels_from_dataset,
         )
+
+        ssl = init_ssl_state(
+            cfg, state.params, state.batch_stats, jax.random.fold_in(rng, 7)
+        )
+        if cfg.CONTRASTIVE.KNN_ON:
+            # label bank for the online kNN monitor (reference
+            # init_knn_labels, models/contrastive.py:143-149)
+            ssl["knn_labels"] = knn_labels_from_dataset(
+                loader.dataset, cfg.CONTRASTIVE.LENGTH
+            )
+        state = state.replace(ssl=ssl)
     elif cfg.MODEL.MODEL_NAME == "TemporalModel":
         from advise_tpu.engine.steps import init_tmodeling_ssl
 
@@ -128,6 +136,19 @@ def trainer(cfg, tb_logger=None) -> TrainState:
 
     device_aug = build_device_aug(cfg, "train") if cfg.TPU.DEVICE_AUG else None
     step_fn = make_train_step(cfg, mesh, model, bundle, device_aug)
+
+    knn_probe_fn = None
+    if (
+        cfg.MODEL.MODEL_NAME == "ContrastiveModel"
+        and cfg.CONTRASTIVE.KNN_ON
+        and cfg.CONTRASTIVE.KNN_EVAL_BATCHES > 0
+    ):
+        from advise_tpu.engine.steps import make_knn_probe_step
+
+        knn_probe_fn = make_knn_probe_step(
+            cfg, mesh, model, device_aug,
+            num_classes=int(np.asarray(state.ssl["knn_labels"]).max()) + 1,
+        )
 
     helper = TrainingHelper(cfg, tb_logger)
     plateau = (
@@ -161,7 +182,28 @@ def trainer(cfg, tb_logger=None) -> TrainState:
             helper.update_stats({k: np.asarray(v) for k, v in stats.items()})
             helper.iter_end(it)
             _maybe_profile(cfg, int(state.step))
+        if knn_probe_fn is not None:
+            accs = []
+            probe_iter = loader.epoch(epoch + 999983)  # fresh shuffle stream
+            for _, (clips, infos) in zip(
+                range(cfg.CONTRASTIVE.KNN_EVAL_BATCHES), probe_iter
+            ):
+                clips_d, infos_d = device_put_batch(
+                    mesh, clips, select_infos(cfg, infos)
+                )
+                acc = knn_probe_fn(
+                    state.params, state.batch_stats, state.ssl,
+                    clips_d, infos_d, jax.random.fold_in(rng, 7919 + epoch),
+                )
+                accs.append(float(acc))
+            helper.rt["knn_acc"] = float(np.mean(accs))
+            logger.info(
+                "epoch %d online kNN top-1: %.4f (%d batches)",
+                epoch, helper.rt["knn_acc"], len(accs),
+            )
         summary = helper.epoch_end()
+        if knn_probe_fn is not None:
+            summary["knn_acc"] = helper.rt["knn_acc"]
         if plateau is not None:
             crit = summary.get("loss_spd", summary.get("loss_cls", 0.0))
             plateau.step(crit)

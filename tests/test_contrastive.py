@@ -248,3 +248,63 @@ def test_vmap_views_matches_sequential(ctype):
         loss_key = [k for k in stats if k.startswith("loss")][0]
         losses[vmap_on] = float(stats[loss_key])
     np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4)
+
+
+def test_contrastive_sequential_byol_matches_batched_grads():
+    """CONTRASTIVE.SEQUENTIAL (reference contrastive_forward :1120-1167):
+    for NUM_CLIP=2 BYOL the accumulated per-clip gradients equal the
+    batched symmetric loss's gradient, so one train step from the same
+    state must land on the same parameters (float tolerance)."""
+    params_out = {}
+    for seq in (False, True):
+        cfg = _cfg("byol")
+        cfg.TPU.VMAP_VIEWS = False
+        cfg.CONTRASTIVE.SEQUENTIAL = seq
+        mesh, model, state, step = _setup(cfg)
+        clips, infos = _batch(cfg)
+        new_state, stats = step(
+            state, clips, infos, jax.random.PRNGKey(0), jnp.float32(1e-2),
+            jnp.float32(0.5),
+        )
+        params_out[seq] = (
+            jax.tree_util.tree_map(np.asarray, new_state.params),
+            float(stats["loss_byol"]),
+        )
+    pa, loss_batched = params_out[False]
+    pb, loss_seq = params_out[True]
+    flat_a = jax.tree_util.tree_leaves(pa)
+    flat_b = jax.tree_util.tree_leaves(pb)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    # reference logging scale: partial_loss = sum / (n_clips * 2)
+    np.testing.assert_allclose(loss_seq, loss_batched / 4.0, rtol=2e-4)
+
+
+def test_contrastive_sequential_moco_runs_and_enqueues():
+    cfg = _cfg("moco")
+    cfg.TPU.VMAP_VIEWS = False
+    cfg.CONTRASTIVE.SEQUENTIAL = True
+    mesh, model, state, step = _setup(cfg)
+    clips, infos = _batch(cfg)
+    q0 = np.asarray(state.ssl["queue_x"])
+    new_state, stats = step(
+        state, clips, infos, jax.random.PRNGKey(0), jnp.float32(1e-2),
+        jnp.float32(0.5),
+    )
+    assert np.isfinite(float(stats["loss_nce"]))
+    q1 = np.asarray(new_state.ssl["queue_x"])
+    # global batch 8 keys enqueued at the ring head
+    assert not np.allclose(q0[:8], q1[:8])
+    np.testing.assert_array_equal(q0[8:], q1[8:])
+    assert int(new_state.ssl["ptr"]) == 8
+
+
+def test_contrastive_sequential_rejected_loudly():
+    with pytest.raises(AssertionError, match="SEQUENTIAL"):
+        _cfg("simclr", **{"CONTRASTIVE.SEQUENTIAL": True})
+    with pytest.raises(AssertionError, match="SEQUENTIAL"):
+        cfg = get_cfg()
+        cfg.CONTRASTIVE.TYPE = "byol"
+        cfg.CONTRASTIVE.SEQUENTIAL = True
+        cfg.TPU.PARTITION_MODE = "auto"
+        assert_and_infer_cfg(cfg)
