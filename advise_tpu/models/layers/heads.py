@@ -135,7 +135,11 @@ class ResNetBasicHead(nn.Module):
 
 class X3DHead(nn.Module):
     """conv5 (1x1x1 expand) -> BN -> ReLU -> pool -> lin5 -> (BN) -> ReLU ->
-    dropout -> fc (reference head_helper.py X3DHead)."""
+    dropout -> fc (reference head_helper.py X3DHead). With
+    ``num_mlp_layers > 1`` the final fc becomes a contrastive projection
+    MLP (+ optional BYOL predictor stack), mirroring ResNetBasicHead so
+    X3D serves as a ContrastiveModel backbone (reference _MODEL_TYPES
+    'x3d', contrastive.py:20-29)."""
 
     dim_inner: int
     dim_out: int
@@ -144,6 +148,13 @@ class X3DHead(nn.Module):
     dropout_rate: float = 0.0
     act_func: str = "softmax"
     bn_lin5_on: bool = False
+    num_mlp_layers: int = 1
+    mlp_dim: int = 2048
+    bn_mlp: bool = False
+    bn_sync_axes: Tuple[str, ...] = ()
+    predictor_depths: Sequence[int] = ()
+    predictor_mlp_dim: int = 2048
+    predictor_bn: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -166,10 +177,36 @@ class X3DHead(nn.Module):
         x = x.reshape(x.shape[0], -1)
         if self.dropout_rate > 0.0:
             x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
-        x = nn.Dense(
-            self.num_classes, kernel_init=fc_init(0.01), dtype=self.dtype,
-            name="projection",
-        )(x)
+        if self.num_mlp_layers == 1:
+            x = nn.Dense(
+                self.num_classes, kernel_init=fc_init(0.01), dtype=self.dtype,
+                name="projection",
+            )(x)
+        else:
+            x = MLPHead(
+                dim_out=self.num_classes,
+                mlp_dim=self.mlp_dim,
+                num_layers=self.num_mlp_layers,
+                bn_on=self.bn_mlp,
+                sync_axes=self.bn_sync_axes,
+                dtype=self.dtype,
+                name="projection",
+            )(x, train)
+        outputs = [x]
+        for i, depth in enumerate(self.predictor_depths):
+            x = MLPHead(
+                dim_out=self.num_classes,
+                mlp_dim=self.predictor_mlp_dim,
+                num_layers=depth,
+                bn_on=self.predictor_bn,
+                sync_axes=self.bn_sync_axes,
+                dtype=self.dtype,
+                name=f"predictor{i}",
+            )(x, train)
+            outputs.append(x)
+        if len(outputs) > 1:
+            return outputs
+        x = outputs[0]
         if not train and self.act_func == "softmax":
             x = nn.softmax(x, axis=-1)
         return x

@@ -98,14 +98,32 @@ class X3D(nn.Module):
         if not self.include_head:
             return x
 
+        contrastive = cfg.MODEL.MODEL_NAME == "ContrastiveModel"
         head = X3DHead(
             dim_inner=dim_inner,
             dim_out=cfg.X3D.DIM_C5,
-            num_classes=cfg.MODEL.NUM_CLASSES,
+            num_classes=(
+                cfg.CONTRASTIVE.DIM if contrastive else cfg.MODEL.NUM_CLASSES
+            ),
             norm=self.norm,
             dropout_rate=cfg.MODEL.DROPOUT_RATE,
             act_func=cfg.MODEL.HEAD_ACT,
             bn_lin5_on=cfg.X3D.BN_LIN5,
+            num_mlp_layers=(
+                cfg.CONTRASTIVE.NUM_MLP_LAYERS if contrastive else 1
+            ),
+            mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
+            bn_mlp=cfg.CONTRASTIVE.BN_MLP if contrastive else False,
+            bn_sync_axes=(
+                self.norm.keywords.get("sync_axes", ())
+                if (contrastive and cfg.CONTRASTIVE.BN_SYNC_MLP)
+                else ()
+            ),
+            predictor_depths=(
+                tuple(cfg.CONTRASTIVE.PREDICTOR_DEPTHS) if contrastive else ()
+            ),
+            predictor_mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
+            predictor_bn=cfg.CONTRASTIVE.BN_MLP if contrastive else False,
             dtype=self.dtype,
             name="head",
         )
