@@ -280,9 +280,6 @@ def make_auto_train_step(cfg, mesh, model, bundle, device_aug):
     )
     from advise_tpu.parallel.auto_shard import constrain_params
 
-    assert cfg.MODEL.MODEL_NAME != "TemporalModel", (
-        "auto partition mode does not support TemporalModel yet"
-    )
     assert not cfg.TRAIN.SEQUENTIAL, (
         "TRAIN.SEQUENTIAL clip micro-batching is a shard_map-path memory "
         "lever; use TPU.REMAT / TPU.FSDP in auto mode"
@@ -295,8 +292,11 @@ def make_auto_train_step(cfg, mesh, model, bundle, device_aug):
         jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     )
     contrastive = cfg.MODEL.MODEL_NAME == "ContrastiveModel"
+    tmodeling = cfg.MODEL.MODEL_NAME == "TemporalModel"
     if contrastive:
         algo = CONTRASTIVE_LOSSES[cfg.CONTRASTIVE.TYPE]
+    elif tmodeling:
+        pass  # tmodeling_loss below
     elif cfg.MODEL.MODEL_NAME == "MaskMViT":
         task_loss = masked_task_loss
     else:
@@ -347,6 +347,31 @@ def make_auto_train_step(cfg, mesh, model, bundle, device_aug):
                     infos, drop_rng,
                 )
                 return loss, (new_bs, new_ssl, stats)
+
+            return finish(state, loss_fn, lr)
+    elif tmodeling:
+        use_byol = "byol" in cfg.SSL.TASK
+
+        def step(state: TrainState, clips_u8, infos, rng, lr):
+            state = state.replace(
+                params=constrain_params(state.params, mesh, cfg.TPU.FSDP)
+            )
+            rng = jax.random.fold_in(rng, state.step)
+            aug_rng, drop_rng = jax.random.split(rng)
+            clips = (
+                device_aug(clips_u8, aug_rng)
+                if device_aug is not None else clips_u8
+            ).astype(compute_dtype)
+            ssl = state.ssl
+            if use_byol:
+                ssl = update_tmodeling_ema(cfg, ssl, state.params)
+
+            def loss_fn(params):
+                loss, (new_bs, stats) = tmodeling_loss(
+                    cfg, model, params, state.batch_stats, ssl, clips,
+                    infos, drop_rng,
+                )
+                return loss, (new_bs, ssl, stats)
 
             return finish(state, loss_fn, lr)
     else:
@@ -479,19 +504,102 @@ def init_tmodeling_ssl(cfg, params) -> Dict[str, Any]:
     }
 
 
-def make_tmodeling_train_step(cfg, mesh, model, bundle, device_aug):
-    """AdViSe step: frozen-CLIP features -> temporal head; speed CE and/or
-    BYOL contrast against EMA twins (reference tools/train.py:79-88 +
-    temporal_modeling.py forward :377-392; the +1/T loss offset kept)."""
+def update_tmodeling_ema(cfg, ssl, params):
+    """EMA update of the AdViSe BYOL twins (reference
+    temporal_modeling.py:217-238, constant momentum)."""
+    m = cfg.CONTRASTIVE.MOMENTUM
+    ssl = dict(ssl)
+    ssl["ema_temporal"] = jax.tree_util.tree_map(
+        lambda h, p: h * m + p * (1.0 - m),
+        ssl["ema_temporal"],
+        params["temporal_encoder"],
+    )
+    ssl["ema_projector"] = jax.tree_util.tree_map(
+        lambda h, p: h * m + p * (1.0 - m),
+        ssl["ema_projector"],
+        params["head_projector"],
+    )
+    return ssl
+
+
+def tmodeling_loss(cfg, model, params, batch_stats, ssl, clips, infos, rng):
+    """AdViSe loss: frozen-CLIP features -> temporal head; speed CE and/or
+    BYOL contrast against the EMA twins (reference tools/train.py:79-88 +
+    temporal_modeling.py forward :377-392; the +1/T loss offset kept).
+    Shared by the shard_map and auto (GSPMD) step builders."""
     from advise_tpu.engine.contrastive import l2_normalize
 
+    use_byol = "byol" in cfg.SSL.TASK
+    use_speed = "speed" in cfg.SSL.TASK or "action" in cfg.SSL.TASK
+    t_temp = cfg.CONTRASTIVE.T
+    b, k = clips.shape[:2]
+    variables = {"params": params, "batch_stats": batch_stats}
+    flat = clips.reshape(b * k, *clips.shape[2:])
+    feats, mutated = model.apply(
+        variables, flat, train=True,
+        method="features",
+        mutable=["batch_stats"],
+        rngs={"dropout": rng},
+    )
+    new_bs = mutated.get("batch_stats", batch_stats)
+    loss = 0.0
+    stats = {}
+    if use_speed:
+        logits = model.apply(
+            {"params": params, "batch_stats": new_bs},
+            feats, train=True, method="classify",
+            rngs={"dropout": rng},
+        )
+        labels = infos["spd_label"].reshape(b * k)
+        loss_spd = L.cross_entropy(logits, labels)
+        loss = loss + loss_spd
+        stats["loss_spd"] = loss_spd
+        stats["acc_spd"] = L.top_k_accuracy(logits, labels, 1)
+    if use_byol:
+        assert k >= 2, "BYOL tmodeling needs 2 clips"
+        # keys: same features with EMA temporal encoder, no grad
+        params_ema = dict(params)
+        params_ema["temporal_encoder"] = ssl["ema_temporal"]
+        keys = model.apply(
+            {"params": params_ema, "batch_stats": batch_stats},
+            jax.lax.stop_gradient(clips.reshape(b * k, *clips.shape[2:])),
+            train=False, method="features",
+        )
+        keys = jax.lax.stop_gradient(keys.reshape(b, k, -1))
+        feats_bk = feats.reshape(b, k, -1)
+        params_ema_p = dict(params)
+        params_ema_p["head_projector"] = ssl["ema_projector"]
+        loss_byol = 0.0
+        for i in range(2):
+            q = model.apply(
+                {"params": params, "batch_stats": new_bs},
+                feats_bk[:, i], train=True, method="project",
+                rngs={"dropout": rng},
+            )
+            q = model.apply(
+                {"params": params, "batch_stats": new_bs},
+                q, train=True, method="predict",
+                rngs={"dropout": rng},
+            )
+            k_feat = model.apply(
+                {"params": params_ema_p, "batch_stats": batch_stats},
+                keys[:, 1 - i], train=False, method="project",
+            )
+            q = l2_normalize(q)
+            k_feat = l2_normalize(jax.lax.stop_gradient(k_feat))
+            loss_byol += -(jnp.sum(q * k_feat, axis=-1) / t_temp).mean()
+        loss_byol = loss_byol / 2.0 + 1.0 / t_temp
+        loss = loss + loss_byol
+        stats["loss_byol"] = loss_byol
+    return loss, (new_bs, stats)
+
+
+def make_tmodeling_train_step(cfg, mesh, model, bundle, device_aug):
+    """AdViSe step, shard_map path (see :func:`tmodeling_loss`)."""
     compute_dtype = (
         jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     )
     use_byol = "byol" in cfg.SSL.TASK
-    use_speed = "speed" in cfg.SSL.TASK or "action" in cfg.SSL.TASK
-    t_temp = cfg.CONTRASTIVE.T
-    m = cfg.CONTRASTIVE.MOMENTUM
 
     def per_device(state: TrainState, clips_u8, infos, rng, lr):
         my = replica_index(BATCH_AXES)
@@ -499,82 +607,16 @@ def make_tmodeling_train_step(cfg, mesh, model, bundle, device_aug):
         aug_rng, drop_rng = jax.random.split(rng)
         clips = device_aug(clips_u8, aug_rng) if device_aug is not None else clips_u8
         clips = clips.astype(compute_dtype)
-        b, k = clips.shape[:2]
 
         ssl = state.ssl
         if use_byol:
-            ssl = dict(ssl)
-            ssl["ema_temporal"] = jax.tree_util.tree_map(
-                lambda h, p: h * m + p * (1.0 - m),
-                ssl["ema_temporal"],
-                state.params["temporal_encoder"],
-            )
-            ssl["ema_projector"] = jax.tree_util.tree_map(
-                lambda h, p: h * m + p * (1.0 - m),
-                ssl["ema_projector"],
-                state.params["head_projector"],
-            )
+            ssl = update_tmodeling_ema(cfg, ssl, state.params)
 
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            flat = clips.reshape(b * k, *clips.shape[2:])
-            feats, mutated = model.apply(
-                variables, flat, train=True,
-                method="features",
-                mutable=["batch_stats"],
-                rngs={"dropout": drop_rng},
+            return tmodeling_loss(
+                cfg, model, params, state.batch_stats, ssl, clips, infos,
+                drop_rng,
             )
-            new_bs = mutated.get("batch_stats", state.batch_stats)
-            loss = 0.0
-            stats = {}
-            if use_speed:
-                logits = model.apply(
-                    {"params": params, "batch_stats": new_bs},
-                    feats, train=True, method="classify",
-                    rngs={"dropout": drop_rng},
-                )
-                labels = infos["spd_label"].reshape(b * k)
-                loss_spd = L.cross_entropy(logits, labels)
-                loss = loss + loss_spd
-                stats["loss_spd"] = loss_spd
-                stats["acc_spd"] = L.top_k_accuracy(logits, labels, 1)
-            if use_byol:
-                assert k >= 2, "BYOL tmodeling needs 2 clips"
-                # keys: same features with EMA temporal encoder, no grad
-                params_ema = dict(params)
-                params_ema["temporal_encoder"] = ssl["ema_temporal"]
-                keys = model.apply(
-                    {"params": params_ema, "batch_stats": state.batch_stats},
-                    jax.lax.stop_gradient(clips.reshape(b * k, *clips.shape[2:])),
-                    train=False, method="features",
-                )
-                keys = jax.lax.stop_gradient(keys.reshape(b, k, -1))
-                feats_bk = feats.reshape(b, k, -1)
-                params_ema_p = dict(params)
-                params_ema_p["head_projector"] = ssl["ema_projector"]
-                loss_byol = 0.0
-                for i in range(2):
-                    q = model.apply(
-                        {"params": params, "batch_stats": new_bs},
-                        feats_bk[:, i], train=True, method="project",
-                        rngs={"dropout": drop_rng},
-                    )
-                    q = model.apply(
-                        {"params": params, "batch_stats": new_bs},
-                        q, train=True, method="predict",
-                        rngs={"dropout": drop_rng},
-                    )
-                    k_feat = model.apply(
-                        {"params": params_ema_p, "batch_stats": state.batch_stats},
-                        keys[:, 1 - i], train=False, method="project",
-                    )
-                    q = l2_normalize(q)
-                    k_feat = l2_normalize(jax.lax.stop_gradient(k_feat))
-                    loss_byol += -(jnp.sum(q * k_feat, axis=-1) / t_temp).mean()
-                loss_byol = loss_byol / 2.0 + 1.0 / t_temp
-                loss = loss + loss_byol
-                stats["loss_byol"] = loss_byol
-            return loss, (new_bs, stats)
 
         (loss, (new_bs, stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

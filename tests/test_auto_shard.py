@@ -413,3 +413,97 @@ def test_auto_moco_queue_and_ema():
     assert int(state.ssl["ptr"]) == 16  # 2 steps x global batch 8
     ema1 = np.asarray(jax.tree_util.tree_leaves(state.ssl["ema_params"])[0])
     assert not np.allclose(ema0, ema1)
+
+
+def test_auto_tmodeling_step():
+    """TemporalModel (AdViSe) under auto partition mode: the frozen CLIP
+    spatial tower is pure forward (FSDP-shardable / replicated), the
+    trainable temporal head partitions like the other transformers, and
+    the BYOL EMA twins update — previously rejected by assert
+    (round-2 VERDICT item 8)."""
+    cfg = get_cfg()
+    cfg.TASK = "tmodeling"
+    cfg.MODEL.MODEL_NAME = "TemporalModel"
+    cfg.MODEL.NUM_CLASSES = 2
+    cfg.MODEL.SPATIAL_EMBEDDING_DIM = 32
+    cfg.MODEL.TEMPORAL_NUM_LAYERS = 1
+    cfg.MODEL.TEMPORAL_EMBEDDING_DIM = 16
+    cfg.MODEL.TEMPORAL_HIDDEN_DIM = 8
+    cfg.SSL.TASK = "speed_byol"
+    cfg.SSL.RANGE = [1, 2]
+    cfg.SSL.NUM_MLP_LAYERS = 2
+    cfg.SSL.MLP_DIM = 16
+    cfg.SSL.BN_MLP = False
+    cfg.TM.TEMPORAL_ARCH = "conv3d"
+    cfg.TM.NUM_BLOCKS = 1
+    cfg.TM.NUM_HEADS = 2
+    cfg.TM.FROM_SCRATCH = False
+    cfg.CONTRASTIVE.DIM = 8
+    cfg.CONTRASTIVE.MOMENTUM = 0.5
+    cfg.DATA.NUM_CLIP = 2
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.AUG.TARGET_SIZE = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.PARTITION_MODE = "auto"
+    cfg.TPU.MESH_MODEL = 2
+    cfg.TPU.FSDP = True
+    cfg.TPU.DONATE = False
+    cfg.SOLVER.OPTIMIZING_METHOD = "simple_adamw"
+    cfg.NUM_WORLDS = 4
+    cfg = assert_and_infer_cfg(cfg)
+    mesh = build_mesh(cfg)
+
+    from advise_tpu.engine.steps import init_tmodeling_ssl
+    from advise_tpu.parallel.auto_shard import shard_train_state
+
+    model = build_model(cfg)
+    x0 = jnp.zeros((2, 4, 32, 32, 3), jnp.float32)
+    v = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x0, train=False, method="init_all",
+    ))()
+    bundle = build_tx(cfg, v["params"])
+    state = TrainState(
+        params=v["params"],
+        batch_stats=v.get("batch_stats", {}),
+        opt_state=bundle.tx.init(v["params"]),
+        step=jnp.zeros((), jnp.int32),
+        ssl=init_tmodeling_ssl(cfg, v["params"]),
+    )
+    state, specs = shard_train_state(cfg, mesh, state, bundle)
+    # temporal-head attention/MLP params actually got sharded specs
+    flat_specs = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda s: isinstance(s, P)
+    )
+    assert any(any(a is not None for a in s) for s in flat_specs)
+    step = make_train_step(cfg, mesh, model, bundle, device_aug=None)
+    rng = np.random.default_rng(0)
+    clips = jnp.asarray(rng.normal(size=(8, 2, 4, 32, 32, 3)).astype(np.float32))
+    infos = {"spd_label": jnp.asarray(rng.integers(0, 2, size=(8, 2)))}
+    ema_before = np.asarray(
+        jax.tree_util.tree_leaves(state.ssl["ema_temporal"])[0]
+    )
+    se_before = np.asarray(
+        jax.tree_util.tree_leaves(state.params["spatial_encoder"])[0]
+    )
+    state, stats = step(
+        state, clips, infos, jax.random.PRNGKey(0), jnp.float32(1e-3)
+    )
+    assert np.isfinite(float(stats["loss_spd"]))
+    assert np.isfinite(float(stats["loss_byol"]))
+    # frozen spatial tower untouched
+    se_after = np.asarray(
+        jax.tree_util.tree_leaves(state.params["spatial_encoder"])[0]
+    )
+    np.testing.assert_array_equal(se_before, se_after)
+    # the twin starts as an exact copy of the online params, so the first
+    # EMA update is a fixed point; after a second step (online params have
+    # moved) the twin must drift
+    state, _ = step(
+        state, clips, infos, jax.random.PRNGKey(1), jnp.float32(1e-3)
+    )
+    ema_after = np.asarray(
+        jax.tree_util.tree_leaves(state.ssl["ema_temporal"])[0]
+    )
+    assert not np.array_equal(ema_before, ema_after)
+    assert int(state.step) == 2
