@@ -545,11 +545,15 @@ def tmodeling_loss(cfg, model, params, batch_stats, ssl, clips, infos, rng):
     loss = 0.0
     stats = {}
     if use_speed:
-        logits = model.apply(
+        # head MLPs may carry their own BN (SSL.BN_MLP, the AdViSe recipe):
+        # thread their running-stat mutations through like the trunk's
+        logits, mut = model.apply(
             {"params": params, "batch_stats": new_bs},
             feats, train=True, method="classify",
+            mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
+        new_bs = mut.get("batch_stats", new_bs)
         labels = infos["spd_label"].reshape(b * k)
         loss_spd = L.cross_entropy(logits, labels)
         loss = loss + loss_spd
@@ -571,16 +575,20 @@ def tmodeling_loss(cfg, model, params, batch_stats, ssl, clips, infos, rng):
         params_ema_p["head_projector"] = ssl["ema_projector"]
         loss_byol = 0.0
         for i in range(2):
-            q = model.apply(
+            q, mut = model.apply(
                 {"params": params, "batch_stats": new_bs},
                 feats_bk[:, i], train=True, method="project",
+                mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
-            q = model.apply(
+            new_bs = mut.get("batch_stats", new_bs)
+            q, mut = model.apply(
                 {"params": params, "batch_stats": new_bs},
                 q, train=True, method="predict",
+                mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
+            new_bs = mut.get("batch_stats", new_bs)
             k_feat = model.apply(
                 {"params": params_ema_p, "batch_stats": batch_stats},
                 keys[:, 1 - i], train=False, method="project",
