@@ -215,6 +215,8 @@ _C.TRAIN = CfgNode()
 
 _C.TRAIN.LOG_FREQ = 20
 _C.TRAIN.SAVE_FREQ = 5
+# N/A on TPU: mixed precision is the dtype policy (TPU.COMPUTE_DTYPE =
+# bfloat16), not a torch autocast context (reference tools/train.py AMP).
 _C.TRAIN.AMP = False
 _C.TRAIN.SEED = 0
 _C.TRAIN.RESUME = None
@@ -233,6 +235,9 @@ _C.TRAIN.BATCH_SIZE = -1
 # -----------------------------------------------------------------------------
 _C.TEST = CfgNode()
 
+# Reference reads this only inside MaskMViT's offline visualization
+# naming (masked.py:530); checkpoint loading here goes through
+# TRAIN.RESUME / top-level RESUME (engine/checkpoint.py).
 _C.TEST.CHECKPOINT_FILE_PATH = ""
 
 # -----------------------------------------------------------------------------
@@ -317,6 +322,11 @@ _C.AUG.MIN_AREA = 0.08
 _C.AUG.MAX_AREA = 0.76
 _C.AUG.RAND_CROP_RATIO = (3.0 / 4.0, 4.0 / 3.0)
 _C.AUG.AA_TYPE = "rand-m7-n4-mstd0.5-inc1"
+# Documented deviation: the reference passes this to timm
+# create_random_augment (datasets/__init__.py:66 — PIL resample of the
+# RandAugment geometric ops); the device RandAugment here warps with
+# bilinear taps always (data/rand_augment.py warp_affine). The RRC
+# resample likewise follows jax.image 'linear'.
 _C.AUG.INTERPOLATION = "bicubic"
 _C.AUG.CAMERA_SHAKE = 0.0
 _C.AUG.CAMERA_SHIFT = 0.0
@@ -421,6 +431,8 @@ _C.RESNET = CfgNode()
 _C.RESNET.TRANS_FUNC = "bottleneck_transform"
 _C.RESNET.NUM_GROUPS = 1
 _C.RESNET.WIDTH_PER_GROUP = 64
+# N/A under XLA: in-place activation is a torch memory detail; XLA's
+# buffer assignment handles aliasing (reference resnet_helper relu inplace).
 _C.RESNET.INPLACE_RELU = True
 _C.RESNET.STRIDE_1X1 = False
 _C.RESNET.ZERO_INIT_FINAL_BN = False
@@ -466,10 +478,18 @@ _C.MASK = CfgNode()
 
 _C.MASK.ENABLE = False
 _C.MASK.MAE_ON = False
+# The reference's block-mask alternative is UNREACHABLE in its fork: the
+# datasets never instantiate MaskingGenerator(3D) (dead since the
+# PySlowFast split), so mask=None reaches _mae_random_masking and only
+# the random path runs — which is what this build implements
+# (models/masked.py random_masking; block-mask generators are available
+# as library code in data/masking.py).
 _C.MASK.MAE_RND_MASK = False
 _C.MASK.PER_FRAME_MASKING = False
 _C.MASK.TIME_STRIDE_LOSS = True
 _C.MASK.NORM_PRED_PIXEL = True
+# fix_init_weight-style depth-scaled init (reference masked.py:130):
+# attn-proj / fc2 weights divided by sqrt(2*layer_id).
 _C.MASK.SCALE_INIT_BY_DEPTH = False
 _C.MASK.DECODER_EMBED_DIM = 512
 _C.MASK.DECODER_DEPTH = 0
@@ -507,6 +527,9 @@ _C.MODEL.ARCH = "Slow"
 _C.MODEL.NUM_CLASSES = 5
 _C.MODEL.DROPOUT_RATE = 0.0
 _C.MODEL.DETACH_FINAL_FC = False
+# N/A under XLA: the DDP fp16 gradient-compression hook (reference
+# models/build.py:84-87) has no analog — grads reduce inside the jitted
+# step; use bf16 compute for the equivalent bandwidth saving.
 _C.MODEL.FP16_ALLREDUCE = False
 _C.MODEL.ACT_CHECKPOINT = False
 _C.MODEL.FC_INIT_STD = 0.01
@@ -520,6 +543,9 @@ _C.MODEL.TEMPORAL_EMBEDDING_DIM = 512
 _C.MODEL.TEMPORAL_HIDDEN_DIM = 256
 _C.MODEL.TEMPORAL_NUM_EMBEDDINGS = 8
 # Loss function name for supervised/action tasks.
+# Dead in the reference too: losses are selected via SSL.METRIC in the
+# output handlers (reference tools/train.py:96-109); _LOSSES never reads
+# this key outside a commented assert (contrastive.py:63).
 _C.MODEL.LOSS_FUNC = "cross_entropy"
 # Drop-connect rate for X3D blocks (restored; reference
 # models/video_model_builder.py:759 reads it).

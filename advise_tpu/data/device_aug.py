@@ -392,15 +392,21 @@ def make_aa_aug(cfg):
         ra_plan, ra_color = make_fused_rand_augment(cfg.AUG.AA_TYPE)
 
         if getattr(cfg.AUG, "RA_BATCHED", False):
-            # Batched execution: vmapped geometry (warp has no branches)
-            # + slot-phase color over the whole batch (see
-            # make_batched_color_apply) — replaces the serial per-clip
-            # lax.map, bit-exact (parity test in tests/test_advanced_aug).
+            # Batched execution: the warp coordinates/plans are vmapped
+            # (cheap scalar math), the gather itself runs as ONE flat
+            # take with per-clip row offsets (warp_gather_batch — a
+            # vmapped gather lowers 3.3x slower on TPU, see its
+            # docstring), and the color ops run as slot phases over the
+            # whole batch (make_batched_color_apply) — replacing the
+            # serial per-clip lax.map, bit-exact (parity test in
+            # tests/test_advanced_aug).
+            from advise_tpu.data.rand_augment import warp_gather_batch
+
             ra_color_batched = make_batched_color_apply(cfg.AUG.AA_TYPE)
 
-            def geom_one(clip_u8, sub):
+            def plan_one(clip_shape_hw, sub):
+                h, w = clip_shape_hw
                 k_box, k_ra, k_flip, k_re = sub[0], sub[1], sub[2], sub[3]
-                t, h, w, c = clip_u8.shape
                 box = sample_rrc_box(k_box, h, w, scale, ratio)
                 p = ra_plan(k_ra, size)
                 flip = (
@@ -409,16 +415,21 @@ def make_aa_aug(cfg):
                     else jnp.asarray(False)
                 )
                 sx, sy, valid = fused_warp_coords(p, box, flip, size)
-                clip = warp_gather(clip_u8.astype(jnp.float32), sx, sy, valid)
-                return clip, p, k_re
+                return sx, sy, valid, p, k_re
 
             def apply_batched(batch_u8, key):
                 bsz, k = batch_u8.shape[:2]
                 flat = batch_u8.reshape(bsz * k, *batch_u8.shape[2:])
+                hh, ww = flat.shape[2], flat.shape[3]
                 keys = jax.random.split(key, bsz * k)
                 # same per-clip sub-key derivation as one_clip_fused
                 subs = jax.vmap(lambda kk: jax.random.split(kk, 4))(keys)
-                clips, plans, k_res = jax.vmap(geom_one)(flat, subs)
+                sx, sy, valid, plans, k_res = jax.vmap(
+                    lambda sub: plan_one((hh, ww), sub)
+                )(subs)
+                clips = warp_gather_batch(
+                    flat.astype(jnp.float32), sx, sy, valid
+                )
                 clips = ra_color_batched(clips, plans)
                 if re_prob > 0:
                     clips = jax.vmap(
@@ -575,7 +586,23 @@ def make_rbyol_aug(cfg):
 
 
 def build_device_aug(cfg, mode: str = "train"):
-    """Dispatch matching reference build_aug (datasets/__init__.py:16-103)."""
+    """Dispatch matching reference build_aug (datasets/__init__.py:16-103).
+
+    DATA.REVERSE_INPUT_CHANNEL (reference datasets/utils.py:51-52: frames
+    RGB->BGR before the model) flips the channel axis of the raw ingest
+    batch before any aug, so luma-dependent color ops see the swapped
+    channels exactly like the reference's post-decode swap."""
+    inner = _build_device_aug(cfg, mode)
+    if not cfg.DATA.REVERSE_INPUT_CHANNEL or inner is None:
+        return inner
+
+    def reversed_channels(batch_u8, key):
+        return inner(batch_u8[..., ::-1], key)
+
+    return reversed_channels
+
+
+def _build_device_aug(cfg, mode: str = "train"):
     if mode == "train":
         if cfg.AUG.TYPE == "simple":
             return make_simple_train_aug(cfg)

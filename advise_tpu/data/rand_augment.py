@@ -524,6 +524,44 @@ OP_POSTERIZE, OP_SOLARIZE, OP_SOLARIZE_ADD = 4, 5, 6
 OP_COLOR, OP_CONTRAST, OP_BRIGHTNESS, OP_SHARPNESS = 7, 8, 9, 10
 
 
+def warp_gather_batch(clips, sx, sy, valid, fill: float = 128.0):
+    """Batched :func:`warp_gather`: clips [N,T,H,W,C], coords/mask
+    [N,oh,ow] -> [N,T,oh,ow,C].
+
+    Formulated as ONE flat gather over [N*H*W, T*C] rows with per-clip
+    index offsets instead of a vmapped per-clip take: XLA lowers the
+    batched (1-batch-dim) gather badly on TPU — measured 98.6 ms for the
+    vmapped form vs 29.7 ms serial lax.map at 32 clips x 32f 224²; the
+    flat form keeps the serial path's contiguous-row access pattern in a
+    single dispatch. Arithmetic is ordered identically to warp_gather, so
+    outputs are bit-exact vs the per-clip path."""
+    n, t, h, w, c = clips.shape
+    oh, ow = sx.shape[1:]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0).reshape(n, -1, 1)
+    wy = (sy - y0).reshape(n, -1, 1)
+
+    flat = clips.transpose(0, 2, 3, 1, 4).reshape(n * h * w, t * c)
+    base = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None]
+
+    def gather(yi, xi):
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        idx = base + (yi_c * w + xi_c).reshape(n, -1)
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(n, -1, t * c)
+
+    out = (
+        gather(y0, x0) * (1 - wx) * (1 - wy)
+        + gather(y0, x0 + 1) * wx * (1 - wy)
+        + gather(y0 + 1, x0) * (1 - wx) * wy
+        + gather(y0 + 1, x0 + 1) * wx * wy
+    )
+    out = jnp.where(valid.reshape(n, -1, 1), out, fill)
+    out = out.reshape(n, oh, ow, t, c).transpose(0, 3, 1, 2, 4)
+    return _round_u8(out)
+
+
 def make_batched_color_apply(config_str: str, num_ops: Optional[int] = None):
     """Batched slot-phase executor for the fused path's color ops
     (``AUG.RA_BATCHED``): the drop-in replacement for dispatching

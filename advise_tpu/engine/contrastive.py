@@ -240,11 +240,17 @@ def compute_keys(cfg, model, ssl, views, rng):
     return keys, jax.lax.stop_gradient(ema_bs)
 
 
-def dequeue_and_enqueue(ssl, keys, axes=BATCH_AXES) -> Dict[str, Any]:
-    """Ring-buffer enqueue of the (globally gathered) first-view keys
-    (reference _dequeue_and_enqueue :263-292)."""
+def dequeue_and_enqueue(ssl, keys, axes=BATCH_AXES,
+                        multi_view: bool = False) -> Dict[str, Any]:
+    """Ring-buffer enqueue of the (globally gathered) first-view keys —
+    or ALL views' keys with CONTRASTIVE.MOCO_MULTI_VIEW_QUEUE (reference
+    _dequeue_and_enqueue :263-292: keys_queue_update = [keys[0]] vs
+    keys)."""
     new = dict(ssl)
-    key = all_gather_cat(keys[0], axes)  # [global_B, dim]
+    use = list(keys) if multi_view else [keys[0]]
+    key = jnp.concatenate(
+        [all_gather_cat(kk, axes) for kk in use], axis=0
+    )  # [n_views * global_B, dim]
     k = ssl["queue_x"].shape[0]
     n = key.shape[0]
     # mirror the reference's `assert self.k % num_items == 0`: otherwise the
@@ -339,7 +345,10 @@ def moco_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
         logits_list.append(jnp.concatenate([pos, queue_neg], axis=1))
     logits = jnp.concatenate(logits_list, axis=0) / t
     loss = L.contrastive_loss(logits)
-    ssl = dequeue_and_enqueue(ssl, keys, batch_axes(cfg))
+    ssl = dequeue_and_enqueue(
+        ssl, keys, batch_axes(cfg),
+        multi_view=cfg.CONTRASTIVE.MOCO_MULTI_VIEW_QUEUE,
+    )
     ssl = knn_update(cfg, ssl, q, infos["item_id"])
     acc = L.top_k_accuracy(logits, jnp.zeros((logits.shape[0],), jnp.int32), 1)
     return loss, new_bs, ssl, {"loss_nce": loss, "acc_ins": acc}
@@ -494,13 +503,30 @@ def swav_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     return loss, new_bs, new_ssl, {"loss_swav": loss}
 
 
+def _mem_interp_weights(time_f: jnp.ndarray, duration: int):
+    """Adjacent-slot pair + the reference's interpolation weights
+    (reference Memory.get/update :966-983, :996-1010) — INCLUDING the
+    quirky ``w_t1 = 1 - (time - t0)`` ("hack for inverse"), reproduced
+    verbatim so bank contents match the reference's."""
+    t0 = jnp.clip(jnp.floor(time_f), 0, duration - 1).astype(jnp.int32)
+    t1 = jnp.clip(t0 + 1, 0, duration - 1)
+    w_t1 = 1.0 - (time_f - t0.astype(jnp.float32))
+    return t0, t1, w_t1[..., None]
+
+
 def mem_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     """Memory-bank NCE (reference :380-441 + Memory :937-1040):
     positives = own bank entry, negatives = QUEUE_LEN random entries;
     bank updated with momentum at gathered indices. MEM_TYPE '2d' uses a
     time-indexed [length, duration, dim] bank: the query reads/writes its
     clip's time slot (infos['time_idx'] scaled by duration-1, reference
-    :389), negatives draw random time slots (:408-415)."""
+    :389), negatives draw random time slots (:408-415; the reference's
+    torch.randint(0, duration-1) never draws the LAST slot — an
+    off-by-one we do not replicate). CONTRASTIVE.INTERP_MEMORY draws
+    float times and linearly interpolates between adjacent slots on read,
+    and scatters the momentum update into BOTH slots on write
+    (Memory.get/update interp branches, incl. their inverted-weight
+    quirk — see _mem_interp_weights)."""
     t = cfg.CONTRASTIVE.T
     k = cfg.CONTRASTIVE.QUEUE_LEN
     index = infos["item_id"]
@@ -509,19 +535,35 @@ def mem_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     q = l2_normalize(proj)
     b = q.shape[0]
     length, duration, _ = ssl["memory"].shape
+    interp = (
+        bool(cfg.CONTRASTIVE.INTERP_MEMORY)
+        and cfg.CONTRASTIVE.MEM_TYPE == "2d"
+        and duration > 1
+    )
     r_ind, r_time = jax.random.split(rng)
     clip_ind = jax.random.randint(r_ind, (b, k + 1), 0, length)
     clip_ind = clip_ind.at[:, 0].set(index)
     # own time slot: normalized clip time in [0,1] -> slot (reference :389)
     time01 = infos.get("time_idx", jnp.zeros((b,), jnp.float32))
-    my_time = jnp.round(time01 * (duration - 1)).astype(jnp.int32)
-    if duration > 1:
-        time_ind = jax.random.randint(r_time, (b, k + 1), 0, duration)
-        time_ind = time_ind.at[:, 0].set(my_time)  # examplar_type 'clip'
-    else:
-        time_ind = jnp.zeros((b, k + 1), jnp.int32)
     mem = jax.lax.stop_gradient(ssl["memory"])
-    negs = mem[clip_ind, time_ind]  # [B, K+1, dim]
+    if interp:
+        my_time_f = time01 * (duration - 1)
+        time_f = jax.random.uniform(
+            r_time, (b, k + 1), minval=0.0, maxval=float(duration - 1)
+        )
+        time_f = time_f.at[:, 0].set(my_time_f)  # examplar_type 'clip'
+        t0, t1, w_t1 = _mem_interp_weights(time_f, duration)
+        negs = (
+            mem[clip_ind, t0] * (1.0 - w_t1) + mem[clip_ind, t1] * w_t1
+        )  # [B, K+1, dim]
+    else:
+        my_time = jnp.round(time01 * (duration - 1)).astype(jnp.int32)
+        if duration > 1:
+            time_ind = jax.random.randint(r_time, (b, k + 1), 0, duration)
+            time_ind = time_ind.at[:, 0].set(my_time)  # examplar 'clip'
+        else:
+            time_ind = jnp.zeros((b, k + 1), jnp.int32)
+        negs = mem[clip_ind, time_ind]  # [B, K+1, dim]
     logits = jnp.einsum("nc,nkc->nk", q, negs) / t
     loss = L.contrastive_loss(logits)
     # momentum update at gathered (index, time) (reference Memory.update)
@@ -529,13 +571,25 @@ def mem_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     axes = batch_axes(cfg)
     q_all = all_gather_cat(jax.lax.stop_gradient(q), axes)
     ind_all = all_gather_cat(index, axes)
-    time_all = all_gather_cat(my_time, axes)
     m = cfg.CONTRASTIVE.MOMENTUM
-    old = ssl["memory"][ind_all, time_all]
-    # reference :1030 weights the NEW features by momentum:
-    # mem_update = new * m + old * (1 - m)
-    upd = l2_normalize(q_all * m + old * (1.0 - m))
-    new_ssl["memory"] = ssl["memory"].at[ind_all, time_all].set(upd)
+    if interp:
+        time_all = all_gather_cat(time01 * (duration - 1), axes)
+        t0, t1, w_t1 = _mem_interp_weights(time_all, duration)
+        w_t0 = 1.0 - w_t1
+        old_t0 = ssl["memory"][ind_all, t0]
+        old_t1 = ssl["memory"][ind_all, t1]
+        upd_t0 = l2_normalize(q_all * w_t0 * m + old_t0 * (1.0 - m))
+        upd_t1 = l2_normalize(q_all * w_t1 * m + old_t1 * (1.0 - m))
+        memory = ssl["memory"].at[ind_all, t0].set(upd_t0)
+        memory = memory.at[ind_all, t1].set(upd_t1)
+        new_ssl["memory"] = memory
+    else:
+        time_all = all_gather_cat(my_time, axes)
+        old = ssl["memory"][ind_all, time_all]
+        # reference :1030 weights the NEW features by momentum:
+        # mem_update = new * m + old * (1 - m)
+        upd = l2_normalize(q_all * m + old * (1.0 - m))
+        new_ssl["memory"] = ssl["memory"].at[ind_all, time_all].set(upd)
     new_ssl = knn_update(cfg, new_ssl, q, index)
     return loss, new_bs, new_ssl, {"loss_nce": loss}
 
@@ -626,7 +680,10 @@ def sequential_contrastive_grads(
     )
     loss_partial = loss_sum / (n * 2.0)  # reference :1164 logging scale
     if ctype == "moco":
-        ssl = dequeue_and_enqueue(ssl, keys, batch_axes(cfg))
+        ssl = dequeue_and_enqueue(
+        ssl, keys, batch_axes(cfg),
+        multi_view=cfg.CONTRASTIVE.MOCO_MULTI_VIEW_QUEUE,
+    )
     ssl = knn_update(cfg, ssl, qs[0], infos["item_id"])
     name = "loss_byol" if ctype == "byol" else "loss_nce"
     return grads, loss_partial, new_bs, ssl, {name: loss_partial}

@@ -224,6 +224,10 @@ class TransformerBasicHead(nn.Module):
     mlp_dim: int = 2048
     bn_mlp: bool = False
     bn_sync_axes: Tuple[str, ...] = ()
+    # MVIT.HEAD_INIT_SCALE: the reference multiplies the projection's
+    # initialized weight AND bias by this after init
+    # (video_model_builder.py:1078-1079) — folded into the initializers
+    head_init_scale: float = 1.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -233,9 +237,15 @@ class TransformerBasicHead(nn.Module):
         if self.detach_final_fc:
             x = jax.lax.stop_gradient(x)
         if self.num_mlp_layers == 1:
+            base_init = fc_init(0.01)
+            scale = self.head_init_scale
+
+            def scaled_init(key, shape, dtype=jnp.float32):
+                return base_init(key, shape, dtype) * scale
+
             x = nn.Dense(
                 self.num_classes,
-                kernel_init=fc_init(0.01),
+                kernel_init=scaled_init if scale != 1.0 else base_init,
                 dtype=self.dtype,
                 name="projection",
             )(x)

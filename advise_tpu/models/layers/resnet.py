@@ -29,6 +29,10 @@ class BasicTransform(nn.Module):
     norm: Callable
     dilation: int = 1
     zero_init_final_bn: bool = False
+    # RESNET.ZERO_INIT_FINAL_CONV (reference weight_init_helper.py:23:
+    # convs marked `final_conv` — BasicTransform.b / Bottleneck.c — are
+    # zero-filled instead of MSRA when the flag is on)
+    zero_init_final_conv: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -53,7 +57,10 @@ class BasicTransform(nn.Module):
             padding=((0, 0), (self.dilation,) * 2, (self.dilation,) * 2),
             kernel_dilation=(1, self.dilation, self.dilation),
             use_bias=False,
-            kernel_init=msra_init,
+            kernel_init=(
+                nn.initializers.zeros if self.zero_init_final_conv
+                else msra_init
+            ),
             dtype=self.dtype,
             name="b",
         )(x)
@@ -77,6 +84,10 @@ class BottleneckTransform(nn.Module):
     stride_1x1: bool = False
     dilation: int = 1
     zero_init_final_bn: bool = False
+    # RESNET.ZERO_INIT_FINAL_CONV (reference weight_init_helper.py:23:
+    # convs marked `final_conv` — BasicTransform.b / Bottleneck.c — are
+    # zero-filled instead of MSRA when the flag is on)
+    zero_init_final_conv: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -113,7 +124,10 @@ class BottleneckTransform(nn.Module):
             self.dim_out,
             (1, 1, 1),
             use_bias=False,
-            kernel_init=msra_init,
+            kernel_init=(
+                nn.initializers.zeros if self.zero_init_final_conv
+                else msra_init
+            ),
             dtype=self.dtype,
             name="c",
         )(x)
@@ -137,6 +151,10 @@ class X3DTransform(nn.Module):
     block_idx: int = 0
     dilation: int = 1
     zero_init_final_bn: bool = False
+    # RESNET.ZERO_INIT_FINAL_CONV (reference weight_init_helper.py:23:
+    # convs marked `final_conv` — BasicTransform.b / Bottleneck.c — are
+    # zero-filled instead of MSRA when the flag is on)
+    zero_init_final_conv: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -173,7 +191,10 @@ class X3DTransform(nn.Module):
             self.dim_out,
             (1, 1, 1),
             use_bias=False,
-            kernel_init=msra_init,
+            kernel_init=(
+                nn.initializers.zeros if self.zero_init_final_conv
+                else msra_init
+            ),
             dtype=self.dtype,
             name="c",
         )(x)
@@ -209,6 +230,10 @@ class ResBlock(nn.Module):
     block_idx: int = 0
     drop_connect_rate: float = 0.0
     zero_init_final_bn: bool = False
+    # RESNET.ZERO_INIT_FINAL_CONV (reference weight_init_helper.py:23:
+    # convs marked `final_conv` — BasicTransform.b / Bottleneck.c — are
+    # zero-filled instead of MSRA when the flag is on)
+    zero_init_final_conv: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -236,6 +261,7 @@ class ResBlock(nn.Module):
             norm=self.norm,
             dilation=self.dilation,
             zero_init_final_bn=self.zero_init_final_bn,
+            zero_init_final_conv=self.zero_init_final_conv,
             dtype=self.dtype,
             name="branch2",
         )
@@ -283,6 +309,10 @@ class ResStage(nn.Module):
     dilation: Sequence[int] = (1,)
     drop_connect_rate: float = 0.0
     zero_init_final_bn: bool = False
+    # RESNET.ZERO_INIT_FINAL_CONV (reference weight_init_helper.py:23:
+    # convs marked `final_conv` — BasicTransform.b / Bottleneck.c — are
+    # zero-filled instead of MSRA when the flag is on)
+    zero_init_final_conv: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def _temp_kernels(self, pathway: int):
@@ -316,6 +346,7 @@ class ResStage(nn.Module):
                     block_idx=i,
                     drop_connect_rate=self.drop_connect_rate,
                     zero_init_final_bn=self.zero_init_final_bn,
+                    zero_init_final_conv=self.zero_init_final_conv,
                     dtype=self.dtype,
                     name=f"pathway{pathway}_res{i}",
                 )(x, train)

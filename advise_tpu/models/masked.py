@@ -33,12 +33,44 @@ from advise_tpu.models.utils import get_3d_sincos_pos_embed
 
 
 def random_masking(rng, b: int, thw: Tuple[int, int, int], mask_ratio: float,
-                   tube: bool = False):
+                   tube: bool = False, per_frame: bool = False):
     """Per-sample random masking by argsort of noise (reference
     _mae_random_masking :296-333). Returns ids_keep [B, len_keep],
-    mask [B, L] (1 = masked), ids_restore [B, L]."""
+    mask [B, L] (1 = masked), ids_restore [B, L].
+
+    ``per_frame`` (MASK.PER_FRAME_MASKING, reference masked.py:347,352):
+    every frame draws its own mask at the same ratio, so the kept-token
+    count per frame is constant. The returned indices stay in the FLAT
+    token space (frame-major), so the encoder gather and decoder restore
+    work unchanged — unlike the reference, whose per-frame decoder
+    restore reshapes the flat [kept..., mask_tokens...] concat to
+    [B*T, H*W] and thereby scrambles tokens across frames (a defect in
+    the reference's per-frame MAE decode, not replicated; SURVEY.md §8
+    family)."""
     t, h, w = thw
     l = t * h * w
+    if per_frame:
+        assert not tube, "PER_FRAME_MASKING and tube masking are exclusive"
+        hw = h * w
+        noise = jax.random.uniform(rng, (b, t, hw))
+        ids_shuffle = jnp.argsort(noise, axis=-1)  # [b, t, hw] frame-local
+        rl = jnp.argsort(ids_shuffle, axis=-1)  # local restore positions
+        len_keep_f = max(int(hw * (1 - mask_ratio)), 1)
+        n_mask_f = hw - len_keep_f
+        offs = (jnp.arange(t) * hw)[None, :, None]
+        ids_keep = (ids_shuffle[..., :len_keep_f] + offs).reshape(b, -1)
+        # flat layout after the decoder concat: kept tokens frame-major
+        # first (frame f at [f*len_keep_f, ...)), then mask tokens
+        # frame-major (frame f at [t*len_keep_f + f*n_mask_f, ...))
+        keep_offs = (jnp.arange(t) * len_keep_f)[None, :, None]
+        mask_offs = (t * len_keep_f + jnp.arange(t) * n_mask_f)[None, :, None]
+        ids_restore = jnp.where(
+            rl < len_keep_f,
+            keep_offs + rl,
+            mask_offs + (rl - len_keep_f),
+        ).reshape(b, l)
+        mask = (rl >= len_keep_f).astype(jnp.float32).reshape(b, l)
+        return ids_keep, mask, ids_restore
     if tube:
         noise = jax.random.uniform(rng, (b, 1, h * w))
         noise = jnp.tile(noise, (1, t, 1)).reshape(b, l)
@@ -271,6 +303,7 @@ class MaskMViT(nn.Module):
         ids_keep, mask, ids_restore = random_masking(
             rng, b, (t, h, w), cfg.AUG.MASK_RATIO,
             tube=cfg.AUG.MASK_TUBE,
+            per_frame=cfg.MASK.PER_FRAME_MASKING,
         )
         if cfg.MVIT.USE_ABS_POS:
             if cfg.MVIT.USE_FIXED_SINCOS_POS:

@@ -603,6 +603,7 @@ class MViT(nn.Module):
             act_func=cfg.MODEL.HEAD_ACT,
             detach_final_fc=cfg.MODEL.DETACH_FINAL_FC,
             num_mlp_layers=cfg.CONTRASTIVE.NUM_MLP_LAYERS if contrastive else 1,
+            head_init_scale=cfg.MVIT.HEAD_INIT_SCALE,
             mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
             bn_mlp=cfg.CONTRASTIVE.BN_MLP if contrastive else False,
             bn_sync_axes=(

@@ -113,6 +113,7 @@ class ResNet3D(nn.Module):
                 stride_1x1=cfg.RESNET.STRIDE_1X1,
                 dilation=[cfg.RESNET.SPATIAL_DILATIONS[idx][0]],
                 zero_init_final_bn=cfg.RESNET.ZERO_INIT_FINAL_BN,
+                zero_init_final_conv=cfg.RESNET.ZERO_INIT_FINAL_CONV,
                 norm=self.norm,
                 dtype=self.dtype,
                 name=f"s{si + 2}",

@@ -136,6 +136,7 @@ class SlowFast(nn.Module):
                 stride_1x1=cfg.RESNET.STRIDE_1X1,
                 dilation=[cfg.RESNET.SPATIAL_DILATIONS[idx][0]] * 2,
                 zero_init_final_bn=cfg.RESNET.ZERO_INIT_FINAL_BN,
+                zero_init_final_conv=cfg.RESNET.ZERO_INIT_FINAL_CONV,
                 norm=self.norm,
                 dtype=self.dtype,
                 name=f"s{si + 2}",

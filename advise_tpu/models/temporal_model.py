@@ -132,6 +132,13 @@ class TemporalModel(nn.Module):
             else:
                 raise NotImplementedError(t_arch)
 
+        if cfg.TM.TEMPORAL_CAT and cfg.TM.LINEAR_PROJ:
+            # reference :178-180: nn.Linear(TEMPORAL_EMBEDDING_DIM, t_dim)
+            self.bridge_proj = nn.Dense(
+                cfg.MODEL.TEMPORAL_EMBEDDING_DIM // cfg.DATA.NUM_FRAMES,
+                dtype=self.dtype,
+                name="bridge_proj",
+            )
         self.head_cls = _Head(
             cfg=self.cfg, num_classes=cfg.MODEL.NUM_CLASSES, dtype=self.dtype,
             name="head_cls",
@@ -171,11 +178,20 @@ class TemporalModel(nn.Module):
 
     def head_bridge(self, feat):
         """Temporal concat pooling (reference :299-309). feat:
-        [N, T, nh, nw, D] -> [N, TEMPORAL_EMBEDDING_DIM]."""
+        [N, T, nh, nw, D] -> [N, TEMPORAL_EMBEDDING_DIM].
+
+        TM.LINEAR_PROJ (reference :175-180, :301-307): instead of the
+        adaptive avg-pool over (T, nh, nw), a learned Linear D -> t_dim
+        projects each token, spatial dims average-pool, and the
+        [t_dim, T] grid flattens channel-major like the torch reshape."""
         cfg = self.cfg
         n = feat.shape[0]
         if cfg.TM.TEMPORAL_CAT:
             t_dim = cfg.MODEL.TEMPORAL_EMBEDDING_DIM // cfg.DATA.NUM_FRAMES
+            if cfg.TM.LINEAR_PROJ:
+                proj = self.bridge_proj(feat)  # [N, T, nh, nw, t_dim]
+                pooled = proj.mean(axis=(2, 3))  # [N, T, t_dim]
+                return pooled.transpose(0, 2, 1).reshape(n, -1)
             # adaptive avg pool to (t_dim, 1, 1) over (T, nh, nw), then
             # flatten channels*t_dim
             nt = feat.shape[1]

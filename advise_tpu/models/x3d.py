@@ -89,6 +89,7 @@ class X3D(nn.Module):
                 * (stage + 2)
                 / (len(block_basis) + 1),
                 zero_init_final_bn=cfg.RESNET.ZERO_INIT_FINAL_BN,
+                zero_init_final_conv=cfg.RESNET.ZERO_INIT_FINAL_CONV,
                 norm=self.norm,
                 dtype=self.dtype,
                 name=f"s{stage + 2}",

@@ -66,7 +66,13 @@ def classify_params(cfg, params) -> Any:
             return "frozen"
         if "/bn" in s or s.endswith("bn/scale") or s.endswith("bn/bias") or "_bn/" in s:
             return "bn"
-        if any(pat in s for pat in _NO_DECAY_PATTERNS):
+        # the reference's no_weight_decay() name set is entirely gated on
+        # MVIT.ZERO_DECAY_POS_CLS (video_model_builder.py:1093-1117,
+        # masked.py:135-160): with the flag off, pos embeds / cls tokens /
+        # rel-pos tables decay like any other param
+        if cfg.MVIT.ZERO_DECAY_POS_CLS and any(
+            pat in s for pat in _NO_DECAY_PATTERNS
+        ):
             return "no_decay"
         if p.ndim <= 1 and cfg.SOLVER.ZERO_WD_1D_PARAM:
             return "one_d"

@@ -90,6 +90,19 @@ def main():
     )
     print(f"geometry lax.map: {dt*1e3:.1f} ms", flush=True)
 
+    def geom_flat(f, su):
+        def coords_one(sub):
+            box = sample_rrc_box(sub[0], h, w, scale, ratio)
+            p = ra_plan(sub[1], s)
+            flip = jax.random.uniform(sub[2], ()) < 0.5
+            return R.fused_warp_coords(p, box, flip, s)
+
+        sx, sy, valid = jax.vmap(coords_one)(su)
+        return R.warp_gather_batch(f.astype(jnp.float32), sx, sy, valid)
+
+    dt = timeit(jax.jit(geom_flat), flat, subs)
+    print(f"geometry flat-batched gather: {dt*1e3:.1f} ms", flush=True)
+
     # ---- one batched color slot, forced op (no equalize loop) ----
     apply_color = R.make_batched_color_apply(cfg.AUG.AA_TYPE, num_ops=1)
     cropped = jnp.asarray(

@@ -1,0 +1,249 @@
+"""Previously-silent config knobs the reference honors, now wired:
+MOCO_MULTI_VIEW_QUEUE, INTERP_MEMORY, PER_FRAME_MASKING,
+ZERO_DECAY_POS_CLS, HEAD_INIT_SCALE, ZERO_INIT_FINAL_CONV,
+REVERSE_INPUT_CHANNEL, TM.LINEAR_PROJ (round-3 dead-knob audit)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advise_tpu.config import assert_and_infer_cfg, get_cfg
+
+
+def test_per_frame_masking_invariants():
+    """MASK.PER_FRAME_MASKING: every frame keeps exactly
+    int(hw*(1-ratio)) tokens; restore indices are a permutation that
+    round-trips the flat [kept..., masked...] concat layout."""
+    from advise_tpu.models.masked import random_masking
+
+    b, t, h, w = 3, 4, 4, 4
+    ratio = 0.75
+    ids_keep, mask, ids_restore = random_masking(
+        jax.random.PRNGKey(0), b, (t, h, w), ratio, per_frame=True
+    )
+    hw = h * w
+    len_keep_f = int(hw * (1 - ratio))
+    assert ids_keep.shape == (b, t * len_keep_f)
+    m = np.asarray(mask).reshape(b, t, hw)
+    # per-frame mask count is exact
+    np.testing.assert_array_equal(m.sum(-1), hw - len_keep_f)
+    # restore is a permutation of [0, L)
+    r = np.asarray(ids_restore)
+    for i in range(b):
+        assert sorted(r[i]) == list(range(t * hw))
+    # round trip: every KEPT token's restore slot recovers its own id;
+    # every MASKED token restores from its own frame's mask-token region
+    # (mask tokens are one shared embedding, so slot order is free)
+    l = t * hw
+    n_mask_f = hw - len_keep_f
+    ik = np.asarray(ids_keep)
+    for i in range(b):
+        kept = list(ik[i])
+        concat = np.asarray(kept + [-1] * (t * n_mask_f))
+        restored = concat[r[i]]
+        for tok in range(l):
+            f = tok // hw
+            if tok in set(kept[f * len_keep_f:(f + 1) * len_keep_f]):
+                assert restored[tok] == tok
+            else:
+                # restore slot points into frame f's mask region
+                slot = r[i][tok]
+                lo = t * len_keep_f + f * n_mask_f
+                assert lo <= slot < lo + n_mask_f, (tok, slot)
+
+
+def test_moco_multi_view_queue():
+    from advise_tpu.engine.contrastive import dequeue_and_enqueue
+
+    ssl = {"queue_x": jnp.zeros((16, 4)), "ptr": jnp.int32(0)}
+    keys = [jnp.ones((4, 4)), 2.0 * jnp.ones((4, 4))]
+    out = dequeue_and_enqueue(ssl, keys, axes=(), multi_view=True)
+    q = np.asarray(out["queue_x"])
+    np.testing.assert_array_equal(q[:4], 1.0)
+    np.testing.assert_array_equal(q[4:8], 2.0)
+    assert int(out["ptr"]) == 8
+    out1 = dequeue_and_enqueue(ssl, keys, axes=(), multi_view=False)
+    assert int(out1["ptr"]) == 4
+
+
+def test_interp_memory_reads_and_writes_adjacent_slots():
+    """CONTRASTIVE.INTERP_MEMORY: the 2D bank update scatters into BOTH
+    adjacent time slots of the written item (reference Memory.update
+    interp branch incl. the inverted-weight quirk)."""
+    from advise_tpu.engine import contrastive as C
+    from advise_tpu.engine.state import TrainState
+    from advise_tpu.engine.steps import make_train_step
+    from advise_tpu.models import build_model
+    from advise_tpu.parallel import build_mesh
+    from advise_tpu.solver import build_tx
+
+    cfg = get_cfg()
+    cfg.TASK = "contrastive"
+    cfg.MODEL.MODEL_NAME = "ContrastiveModel"
+    cfg.MODEL.ARCH = "slow"
+    cfg.RESNET.DEPTH = 10
+    cfg.RESNET.TRANS_FUNC = "basic_transform"
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[1], [1], [1], [1]]
+    cfg.CONTRASTIVE.TYPE = "mem"
+    cfg.CONTRASTIVE.MEM_TYPE = "2d"
+    cfg.CONTRASTIVE.DURATION = 4
+    cfg.CONTRASTIVE.INTERP_MEMORY = True
+    cfg.CONTRASTIVE.DIM = 16
+    cfg.CONTRASTIVE.MLP_DIM = 32
+    cfg.CONTRASTIVE.QUEUE_LEN = 8
+    cfg.CONTRASTIVE.LENGTH = 32
+    cfg.CONTRASTIVE.KNN_ON = False
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.MESH_SYNC = 4
+    cfg.TPU.DONATE = False
+    cfg.BN.NORM_TYPE = "sync_batchnorm"
+    cfg.DATA.NUM_CLIP = 2
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.AUG.TARGET_SIZE = 16
+    cfg.NUM_WORLDS = 8
+    cfg = assert_and_infer_cfg(cfg)
+    mesh = build_mesh(cfg)
+    model = build_model(cfg)
+    model_init = build_model(cfg, sync_axes=())
+    sample = jnp.zeros((2, 2, 16, 16, 3), jnp.float32)
+    variables = jax.jit(lambda: model_init.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        sample, train=False,
+    ))()
+    bundle = build_tx(cfg, variables["params"])
+    ssl = C.init_ssl_state(
+        cfg, variables["params"], variables.get("batch_stats", {}),
+        jax.random.PRNGKey(7),
+    )
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=bundle.tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+        ssl=ssl,
+    )
+    step = make_train_step(cfg, mesh, model, bundle, device_aug=None)
+    clips = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 2, 2, 16, 16, 3))
+        .astype(np.float32)
+    )
+    # time 0.5 -> float slot 1.5 -> slots 1 AND 2 written
+    infos = {
+        "item_id": jnp.arange(8, dtype=jnp.int64),
+        "time_idx": jnp.full((8,), 0.5, jnp.float32),
+    }
+    mem0 = np.asarray(state.ssl["memory"])
+    state, stats = step(
+        state, clips, infos, jax.random.PRNGKey(0), jnp.float32(1e-3),
+        jnp.float32(0.5),
+    )
+    assert np.isfinite(float(stats["loss_nce"]))
+    mem1 = np.asarray(state.ssl["memory"])
+    changed = (np.abs(mem1 - mem0).max(axis=2) > 0)  # [length, duration]
+    assert changed[:8, 1].all() and changed[:8, 2].all()
+    assert not changed[:8, 0].any() and not changed[:8, 3].any()
+    assert not changed[8:].any()
+
+
+def test_zero_decay_pos_cls_gate():
+    from advise_tpu.solver.optimizer import classify_params
+
+    params = {
+        "pos_embed": jnp.zeros((1, 8, 4)),
+        "cls_token": jnp.zeros((1, 1, 4)),
+        "dense": {"kernel": jnp.zeros((4, 4))},
+    }
+    cfg = get_cfg()
+    cfg.MVIT.ZERO_DECAY_POS_CLS = True
+    labels = classify_params(cfg, params)
+    assert labels["pos_embed"] == "no_decay"
+    cfg.MVIT.ZERO_DECAY_POS_CLS = False
+    labels = classify_params(cfg, params)
+    # with the gate off, pos embeds follow the normal 1-D/default rules
+    assert labels["pos_embed"] != "no_decay"
+    assert labels["cls_token"] != "no_decay"
+
+
+def test_head_init_scale_scales_projection():
+    from advise_tpu.models.layers.heads import TransformerBasicHead
+
+    x = jnp.ones((2, 8))
+    outs = {}
+    for scale in (1.0, 0.001):
+        head = TransformerBasicHead(
+            num_classes=4, act_func="none", head_init_scale=scale
+        )
+        v = head.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        outs[scale] = np.asarray(v["params"]["projection"]["kernel"])
+    np.testing.assert_allclose(outs[0.001], outs[1.0] * 0.001, rtol=1e-6)
+
+
+def test_zero_init_final_conv():
+    from advise_tpu.models.layers.resnet import BottleneckTransform
+    from advise_tpu.models.layers.norm import get_norm
+
+    cfg = get_cfg()
+    block = BottleneckTransform(
+        dim_out=8, dim_inner=4, temp_kernel_size=3, stride=1,
+        norm=get_norm(cfg, ()), zero_init_final_conv=True,
+    )
+    x = jnp.ones((1, 2, 8, 8, 8))
+    v = block.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    np.testing.assert_array_equal(np.asarray(v["params"]["c"]["kernel"]), 0.0)
+
+
+def test_reverse_input_channel():
+    from advise_tpu.data import build_device_aug
+
+    cfg = get_cfg()
+    cfg.AUG.TYPE = "none"
+    # symmetric normalization so the channel swap is visible as a pure
+    # value swap (normalize applies per-channel AFTER the flip, like the
+    # reference's post-swap tensor_normalize)
+    cfg.DATA.MEAN = [0.5, 0.5, 0.5]
+    cfg.DATA.STD = [0.5, 0.5, 0.5]
+    batch = np.zeros((1, 1, 2, 4, 4, 3), np.uint8)
+    batch[..., 0] = 255  # red
+    cfg.DATA.REVERSE_INPUT_CHANNEL = False
+    out = np.asarray(build_device_aug(cfg, "train")(jnp.asarray(batch),
+                                                    jax.random.PRNGKey(0)))
+    cfg.DATA.REVERSE_INPUT_CHANNEL = True
+    out_r = np.asarray(build_device_aug(cfg, "train")(jnp.asarray(batch),
+                                                      jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(out[..., 0], out_r[..., 2])
+    np.testing.assert_allclose(out[..., 2], out_r[..., 0])
+
+
+def test_tm_linear_proj_bridge():
+    from advise_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.TASK = "tmodeling"
+    cfg.MODEL.MODEL_NAME = "TemporalModel"
+    cfg.MODEL.NUM_CLASSES = 2
+    cfg.MODEL.SPATIAL_EMBEDDING_DIM = 32
+    cfg.MODEL.TEMPORAL_NUM_LAYERS = 1
+    cfg.MODEL.TEMPORAL_EMBEDDING_DIM = 16
+    cfg.MODEL.TEMPORAL_HIDDEN_DIM = 8
+    cfg.SSL.TASK = "speed"
+    cfg.SSL.RANGE = [1, 2]
+    cfg.TM.TEMPORAL_ARCH = "conv3d"
+    cfg.TM.TEMPORAL_CAT = True
+    cfg.TM.LINEAR_PROJ = True
+    cfg.DATA.NUM_CLIP = 2
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.AUG.TARGET_SIZE = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg = assert_and_infer_cfg(cfg)
+    m = build_model(cfg, sync_axes=())
+    x = jnp.zeros((2, 4, 32, 32, 3), jnp.float32)
+    v = jax.jit(lambda: m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False,
+    ))()
+    assert "bridge_proj" in v["params"]
+    logits = m.apply(v, x, train=False)
+    assert logits.shape == (2, 2)
+    assert np.isfinite(np.asarray(logits)).all()
