@@ -353,14 +353,16 @@ _C.AUG.REFERENCE_EXACT_HUE = True
 # presets enable it explicitly. See data/rand_augment.py
 # make_fused_rand_augment for the semantics delta.
 _C.AUG.FUSED_RA = False
-# Batched slot-phase execution of the fused path's color ops: instead of a
-# serial per-clip lax.map (dispatch-bound, ~19% of the SlowFast-BYOL step
-# in the round-2 device trace), each RandAugment slot runs ONCE over the
-# whole clip batch — value ops via per-frame-channel 256-entry LUTs
-# applied as one-hot matmuls on the MXU, saturation/sharpness as fused
-# elementwise/stencil passes, op selection by per-clip mask. Bit-exact vs
-# the per-clip fused path (parity-tested); only applies with FUSED_RA.
-_C.AUG.RA_BATCHED = True
+# Batched slot-phase execution of the fused path: vmapped/flat-gather
+# geometry + whole-batch color slots with a while-loop equalize.
+# Bit-exact vs the per-clip fused path (parity-tested) but MEASURED
+# SLOWER on v5e (BASELINE.md round-3 RA write-up): the batched warp
+# gather lowers 3.3-6x worse than the serial lax.map (98.7/186.3 ms vs
+# 30.2 ms at 32 clips), and once equalize got its nibble rewrite the
+# serial color dispatch stopped being the bottleneck (full aa pipeline:
+# serial 57 ms vs batched 205-306 ms). Kept off as a documented
+# alternative execution mode; only applies with FUSED_RA.
+_C.AUG.RA_BATCHED = False
 # Random erasing (timm semantics; reference datasets/random_erasing.py).
 _C.AUG.RE_PROB = 0.0
 _C.AUG.RE_MODE = "pixel"

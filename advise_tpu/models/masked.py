@@ -243,10 +243,27 @@ class MaskMViT(nn.Module):
                 label = patchify_3d(frames, stride_hw, u)
                 if cfg.MASK.NORM_PRED_PIXEL:
                     label = normalize_patches(label)
+            # MASK.HEAD_TYPE (reference MSSeparateHead head_helper.py:474):
+            # 'separate' = LayerNorm+Linear only; 'separate_xformer' adds
+            # DECODER_DEPTH MultiScaleBlock transforms per depth head
+            head_parts = cfg.MASK.HEAD_TYPE.split("_")
+            assert head_parts[0] == "separate", cfg.MASK.HEAD_TYPE
+            xformer = len(head_parts) > 1 and head_parts[1] == "xformer"
+            if xformer:
+                assert cfg.MASK.DECODER_DEPTH > 0, (
+                    "MASK.HEAD_TYPE separate_xformer needs DECODER_DEPTH>0"
+                )
             pred = SeparateHead(
                 num_classes=num_class,
                 feat_size=tuple(thw),
-                decoder_depth=0,
+                decoder_depth=cfg.MASK.DECODER_DEPTH if xformer else 0,
+                decoder_embed_dim=cfg.MASK.DECODER_EMBED_DIM,
+                mlp_ratio=cfg.MVIT.MLP_RATIO,
+                qkv_bias=cfg.MVIT.QKV_BIAS,
+                kernel_kv=tuple(cfg.MASK.DEC_KV_KERNEL),
+                stride_kv=tuple(cfg.MASK.DEC_KV_STRIDE),
+                mode=cfg.MVIT.MODE,
+                has_cls=False,  # cls already stripped from `feat` above
                 dtype=self.dtype,
                 name=f"pred_head_{depth}",
             )(feat, train)
@@ -345,7 +362,20 @@ class MaskMViT(nn.Module):
         x_ = jnp.take_along_axis(
             x_, ids_restore[..., None].astype(jnp.int32), axis=1
         )
-        dec_pe = self.param("decoder_pos_embed", trunc02, (1, l, dec_dim))
+        if cfg.MASK.DECODER_SEP_POS_EMBED:
+            # separable decoder pos embed (reference masked.py:79,425-440):
+            # spatial table tiled over T + temporal table repeated over HW
+            pe_s = self.param(
+                "dec_pos_embed_spatial", trunc02, (1, h * w, dec_dim)
+            )
+            pe_t = self.param(
+                "dec_pos_embed_temporal", trunc02, (1, t, dec_dim)
+            )
+            dec_pe = jnp.tile(pe_s, (1, t, 1)) + jnp.repeat(
+                pe_t, h * w, axis=1
+            )
+        else:
+            dec_pe = self.param("decoder_pos_embed", trunc02, (1, l, dec_dim))
         x_ = x_ + dec_pe.astype(x_.dtype)
 
         u = 1 if cfg.MASK.TIME_STRIDE_LOSS else pt

@@ -247,3 +247,67 @@ def test_tm_linear_proj_bridge():
     logits = m.apply(v, x, train=False)
     assert logits.shape == (2, 2)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def _mask_cfg():
+    import os
+    # reuse the transformer test harness's cfg shape
+    from tests.test_transformers import _mvit_cfg  # type: ignore
+
+    cfg = _mvit_cfg()
+    cfg.MODEL.MODEL_NAME = "MaskMViT"
+    cfg.MASK.ENABLE = True
+    cfg.MASK.PRETRAIN_DEPTH = [3]
+    cfg.AUG.MASK_RATIO = 0.5
+    cfg.MVIT.POOL_Q_STRIDE = []
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = None
+    return cfg
+
+
+def test_maskfeat_xformer_head():
+    """MASK.HEAD_TYPE='separate_xformer' adds DECODER_DEPTH MultiScale
+    transforms to each depth head (reference MSSeparateHead
+    head_helper.py:507-531)."""
+    from tests.test_transformers import _run  # type: ignore
+
+    cfg = _mask_cfg()
+    cfg.MASK.HEAD_TYPE = "separate_xformer"
+    cfg.MASK.DECODER_DEPTH = 1
+    cfg.MASK.DECODER_EMBED_DIM = 32
+    m, v, out = _run(cfg)
+    head = v["params"]["pred_head_3"]
+    assert "transform_0" in head
+    preds, labels, masks, weights = out
+    assert np.isfinite(np.asarray(preds[0])).all()
+
+
+def test_mae_sep_decoder_pos_embed():
+    from tests.test_transformers import _run  # type: ignore
+
+    cfg = _mask_cfg()
+    cfg.MASK.MAE_ON = True
+    cfg.MVIT.CLS_EMBED_ON = False
+    cfg.MASK.DECODER_DEPTH = 1
+    cfg.MASK.DECODER_EMBED_DIM = 32
+    cfg.MASK.DECODER_SEP_POS_EMBED = True
+    m, v, out = _run(cfg)
+    assert "dec_pos_embed_spatial" in v["params"]
+    assert "dec_pos_embed_temporal" in v["params"]
+    assert "decoder_pos_embed" not in v["params"]
+
+
+def test_mae_per_frame_masking_forward():
+    from tests.test_transformers import _run  # type: ignore
+
+    cfg = _mask_cfg()
+    cfg.MASK.MAE_ON = True
+    cfg.MVIT.CLS_EMBED_ON = False
+    cfg.MASK.DECODER_DEPTH = 1
+    cfg.MASK.DECODER_EMBED_DIM = 32
+    cfg.MASK.PER_FRAME_MASKING = True
+    m, v, out = _run(cfg)
+    preds, labels, masks, weights = out
+    from advise_tpu.models.masked import masked_mse
+
+    loss = masked_mse(preds[0], labels[0], masks[0])
+    assert np.isfinite(float(loss))
