@@ -140,6 +140,9 @@ class MultiScaleAttention(nn.Module):
     # attention). Only legal without cls token / rel-pos, inside shard_map
     # over a mesh that carries this axis.
     seq_axis: Optional[str] = None
+    # divide the out-proj's initialized weight (MAE fix_init_weight depth
+    # rescale, MASK.SCALE_INIT_BY_DEPTH; reference masked.py:130)
+    proj_init_div: float = 1.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -272,7 +275,15 @@ class MultiScaleAttention(nn.Module):
                 out = out + q
 
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.dim_out)
-        out = dense(self.dim_out, name="proj")(out)
+        if self.proj_init_div != 1.0:
+            div = self.proj_init_div
+
+            def proj_init(key, shape, dtype=jnp.float32):
+                return trunc02(key, shape, dtype) / div
+
+            out = dense(self.dim_out, kernel_init=proj_init, name="proj")(out)
+        else:
+            out = dense(self.dim_out, name="proj")(out)
         if self.drop_rate > 0.0:
             out = nn.Dropout(self.drop_rate)(out, deterministic=deterministic)
         return out, q_shape
@@ -336,6 +347,9 @@ class MultiScaleBlock(nn.Module):
     dim_mul_in_att: bool = False
     separate_qkv: bool = False
     seq_axis: Optional[str] = None
+    # MASK.SCALE_INIT_BY_DEPTH: attn out-proj and mlp fc2 inits divided by
+    # sqrt(2 * layer_id) (reference MAE fix_init_weight, masked.py:130)
+    init_div: float = 1.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -367,6 +381,7 @@ class MultiScaleBlock(nn.Module):
             residual_pooling=self.residual_pooling,
             separate_qkv=self.separate_qkv,
             seq_axis=self.seq_axis,
+            proj_init_div=self.init_div,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw, deterministic)
@@ -406,6 +421,7 @@ class MultiScaleBlock(nn.Module):
             hidden_features=int(att_dim * self.mlp_ratio),
             out_features=self.dim_out,
             drop_rate=self.drop_rate,
+            fc2_init_div=self.init_div,
             dtype=self.dtype,
             name="mlp",
         )(x_norm2, deterministic)

@@ -38,12 +38,16 @@ class DropPath(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Transformer MLP (reference models/common.py:65-100)."""
+    """Transformer MLP (reference models/common.py:65-100).
+
+    ``fc2_init_div``: divide fc2's initialized weight (MAE
+    fix_init_weight depth rescale, MASK.SCALE_INIT_BY_DEPTH)."""
 
     hidden_features: int
     out_features: int
     act: Callable = nn.gelu
     drop_rate: float = 0.0
+    fc2_init_div: float = 1.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -52,7 +56,17 @@ class Mlp(nn.Module):
         x = self.act(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        fc2_init = nn.initializers.lecun_normal()
+        if self.fc2_init_div != 1.0:
+            base, div = fc2_init, self.fc2_init_div
+
+            def fc2_init(key, shape, dtype=jnp.float32, _b=base, _d=div):
+                return _b(key, shape, dtype) / _d
+
+        x = nn.Dense(
+            self.out_features, kernel_init=fc2_init, dtype=self.dtype,
+            name="fc2",
+        )(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         return x

@@ -346,6 +346,10 @@ class MaskMViT(nn.Module):
                 qkv_bias=cfg.MVIT.QKV_BIAS,
                 has_cls_embed=False,
                 mode=cfg.MVIT.MODE,
+                init_div=(
+                    (2.0 * (i + 1)) ** 0.5
+                    if cfg.MASK.SCALE_INIT_BY_DEPTH else 1.0
+                ),
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, (t, h, w), not train)

@@ -565,6 +565,13 @@ class MViT(nn.Module):
                     dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
                     separate_qkv=cfg.MVIT.SEPARATE_QKV,
                     seq_axis=_block_seq_axis(cfg, spec),
+                    # MASK.SCALE_INIT_BY_DEPTH (MAE fix_init_weight):
+                    # proj/fc2 inits divided by sqrt(2 * layer_id)
+                    init_div=(
+                        (2.0 * (i + 1)) ** 0.5
+                        if (cfg.MASK.ENABLE and cfg.MASK.SCALE_INIT_BY_DEPTH)
+                        else 1.0
+                    ),
                     dtype=self.dtype,
                     name=f"blocks_{i}",
                 )

@@ -311,3 +311,28 @@ def test_mae_per_frame_masking_forward():
 
     loss = masked_mse(preds[0], labels[0], masks[0])
     assert np.isfinite(float(loss))
+
+
+def test_scale_init_by_depth():
+    """MASK.SCALE_INIT_BY_DEPTH (reference fix_init_weight, masked.py:130):
+    block i's attn out-proj and mlp fc2 inits are divided by
+    sqrt(2*(i+1)), so deeper blocks start with proportionally smaller
+    residual branches."""
+    from tests.test_transformers import _run  # type: ignore
+
+    cfg = _mask_cfg()
+    vs = {}
+    for flag in (False, True):
+        cfg.MASK.SCALE_INIT_BY_DEPTH = flag
+        _, v, _ = _run(cfg)
+        vs[flag] = v["params"]["encoder"]
+    import math
+
+    for i in (0, 3):
+        div = math.sqrt(2.0 * (i + 1))
+        base = np.asarray(vs[False][f"blocks_{i}"]["attn"]["proj"]["kernel"])
+        scaled = np.asarray(vs[True][f"blocks_{i}"]["attn"]["proj"]["kernel"])
+        np.testing.assert_allclose(scaled, base / div, rtol=1e-6)
+        base = np.asarray(vs[False][f"blocks_{i}"]["mlp"]["fc2"]["kernel"])
+        scaled = np.asarray(vs[True][f"blocks_{i}"]["mlp"]["fc2"]["kernel"])
+        np.testing.assert_allclose(scaled, base / div, rtol=1e-6)
