@@ -545,10 +545,43 @@ def make_clip_aug(cfg):
     return apply
 
 
+def resized_crop_clip_boxes(clip, boxes, size: Tuple[int, int],
+                            method: str = "linear", antialias: bool = True):
+    """Per-frame boxes variant of :func:`resized_crop_clip`: boxes
+    [T, 4] = (top, left, height, width) per frame (the motion-shift RRC,
+    reference transform.py random_resized_crop_with_shift :615-657)."""
+    oh, ow = size
+
+    def one(frame, box):
+        top, left, bh, bw = box[0], box[1], box[2], box[3]
+        scale = jnp.stack([oh / bh, ow / bw])
+        translation = jnp.stack([-top * oh / bh, -left * ow / bw])
+        return jax.image.scale_and_translate(
+            frame, (oh, ow, frame.shape[-1]), (0, 1), scale, translation,
+            method=method, antialias=antialias,
+        )
+
+    return jax.vmap(one)(clip, boxes)
+
+
+def motion_shift_boxes(key, t: int, h: int, w: int, scale, ratio):
+    """Two RRC boxes for the first/last frame, linearly interpolated (and
+    floored to the integer grid like the reference's int(linspace))
+    across frames (reference random_resized_crop_with_shift :638-643)."""
+    k1, k2 = jax.random.split(key)
+    b1 = jnp.stack(sample_rrc_box(k1, h, w, scale, ratio))
+    b2 = jnp.stack(sample_rrc_box(k2, h, w, scale, ratio))
+    alpha = jnp.linspace(0.0, 1.0, t)[:, None]
+    return jnp.floor(b1[None] * (1 - alpha) + b2[None] * alpha)
+
+
 def make_rbyol_aug(cfg):
     """AUG.TYPE='rbyol': the MoCo-v2/BYOL stack — RRC, strong color jitter,
     grayscale, gaussian blur, flip (reference datasets/__init__.py:70-76 +
-    transform.py color_jitter_video_ssl / GaussianBlurVideo)."""
+    transform.py color_jitter_video_ssl / GaussianBlurVideo). With
+    AUG.TRAIN_JITTER_MOTION_SHIFT the crop box interpolates between two
+    sampled boxes across frames (reference rbyol_aug -> spatial_sampling
+    motion_shift path, datasets/__init__.py:326 + transform.py:615-657)."""
     from advise_tpu.data.erasing import gaussian_blur_clip
 
     size = int(cfg.AUG.TARGET_SIZE)
@@ -559,10 +592,20 @@ def make_rbyol_aug(cfg):
         k_box, k_col, k_gray, k_blur, k_bp, k_flip = jax.random.split(key, 6)
         t, hh, ww, _ = clip_u8.shape
         clip = clip_u8.astype(jnp.float32)
-        box = sample_rrc_box(
-            k_box, hh, ww, (cfg.AUG.MIN_AREA, 1.0), tuple(cfg.AUG.RAND_CROP_RATIO)
-        )
-        clip = jnp.clip(resized_crop_clip(clip, box, (size, size)), 0, 255)
+        if cfg.AUG.TRAIN_JITTER_MOTION_SHIFT:
+            boxes = motion_shift_boxes(
+                k_box, t, hh, ww, (cfg.AUG.MIN_AREA, 1.0),
+                tuple(cfg.AUG.RAND_CROP_RATIO),
+            )
+            clip = jnp.clip(
+                resized_crop_clip_boxes(clip, boxes, (size, size)), 0, 255
+            )
+        else:
+            box = sample_rrc_box(
+                k_box, hh, ww, (cfg.AUG.MIN_AREA, 1.0),
+                tuple(cfg.AUG.RAND_CROP_RATIO),
+            )
+            clip = jnp.clip(resized_crop_clip(clip, box, (size, size)), 0, 255)
         clip = color_jitter_clip(clip, k_col, p, b, c, s, h)
         clip = grayscale_clip(clip, k_gray, cfg.AUG.GRAYSCALE)
         blurred = gaussian_blur_clip(

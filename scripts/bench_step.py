@@ -27,6 +27,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--profile", default="",
+                    help="capture a jax.profiler trace of 3 steps into DIR")
     ap.add_argument("--opts", nargs="*", default=[])
     args = ap.parse_args()
 
@@ -114,6 +116,17 @@ def main():
         )
     float(jnp.sum(stats["grad_norm"]))
     dt = (time.perf_counter() - t0) / args.steps
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+        for i in range(3):
+            state, stats = step(
+                state, clips, infos, jax.random.PRNGKey(500 + i),
+                jnp.float32(1e-3), *extra,
+            )
+        float(jnp.sum(stats["grad_norm"]))
+        jax.profiler.stop_trace()
+        print(f"trace written -> {args.profile}")
 
     clips_per_step = b * k
     print(f"step: {dt*1e3:.1f} ms  "

@@ -336,3 +336,34 @@ def test_scale_init_by_depth():
         base = np.asarray(vs[False][f"blocks_{i}"]["mlp"]["fc2"]["kernel"])
         scaled = np.asarray(vs[True][f"blocks_{i}"]["mlp"]["fc2"]["kernel"])
         np.testing.assert_allclose(scaled, base / div, rtol=1e-6)
+
+
+def test_rbyol_motion_shift_crop():
+    """AUG.TRAIN_JITTER_MOTION_SHIFT: the crop box interpolates between
+    two sampled boxes across frames, so a STATIC video yields different
+    crops for the first vs last frame (reference rbyol_aug's
+    random_resized_crop_with_shift)."""
+    from advise_tpu.data import build_device_aug
+
+    cfg = get_cfg()
+    cfg.AUG.TYPE = "rbyol"
+    cfg.AUG.TARGET_SIZE = 16
+    cfg.AUG.COLOR = [0.0, 0.0, 0.0, 0.0, 0.0]
+    cfg.AUG.GRAYSCALE = 0.0
+    cfg.AUG.RANDOM_FLIP = False
+    cfg.AUG.SSL_BLUR_SIGMA_MIN = [0.0, 0.0]
+    cfg.AUG.SSL_BLUR_SIGMA_MAX = [0.0, 0.0]
+    # static content: every frame identical
+    frame = np.random.default_rng(0).integers(0, 256, (24, 32, 3), np.uint8)
+    batch = np.broadcast_to(frame, (6, 24, 32, 3))[None, None]
+    outs = {}
+    for ms in (False, True):
+        cfg.AUG.TRAIN_JITTER_MOTION_SHIFT = ms
+        aug = build_device_aug(cfg, "train")
+        outs[ms] = np.asarray(
+            jax.jit(aug)(jnp.asarray(batch), jax.random.PRNGKey(3))
+        )[0, 0]
+    # without motion shift all frames crop identically
+    np.testing.assert_allclose(outs[False][0], outs[False][-1], atol=1e-5)
+    # with motion shift the box moves across frames
+    assert np.abs(outs[True][0] - outs[True][-1]).max() > 1e-3
