@@ -179,6 +179,7 @@ _C.CONTRASTIVE.MEM_TYPE = "1d"
 # full 2D Memory machinery, contrastive.py:937-1040, but pins duration=1
 # at :48; exposed here so the time-indexed bank is actually reachable)
 _C.CONTRASTIVE.DURATION = 1
+# surface-compat only (reference declares it; no reader there either)
 _C.CONTRASTIVE.NUM_CLASSES_DOWNSTREAM = 400
 _C.CONTRASTIVE.NUM_MLP_LAYERS = 2
 _C.CONTRASTIVE.MLP_DIM = 2048
@@ -392,6 +393,10 @@ _C.DATA.DATADIR = None
 _C.DATA.LABELDIR = None
 _C.DATA.SPLITFILE = None
 _C.DATA.NUM_CLIP = 4
+# Dead in the reference: these size only the SimCLR pos/neg-mask
+# machinery behind a hardcoded `distributed_loss = False`
+# (contrastive.py:748-768) — the live branch is the 2-view gathered
+# NT-Xent implemented here. DATA.NUM_CLIP is the crop count that runs.
 _C.DATA.TRAIN_CROP_NUM_TEMPORAL = 4
 _C.DATA.TRAIN_CROP_NUM_SPATIAL = 1
 _C.DATA.NUM_FRAMES = 8
