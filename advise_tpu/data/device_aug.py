@@ -385,7 +385,13 @@ def make_aa_aug(cfg):
     scale = (cfg.AUG.MIN_AREA, cfg.AUG.MAX_AREA)
     ratio = tuple(cfg.AUG.RAND_CROP_RATIO)
     mean, std = cfg.DATA.MEAN, cfg.DATA.STD
-    ra = make_rand_augment(cfg.AUG.AA_TYPE)
+    # the op-exact path honors AUG.INTERPOLATION for its geometric warps
+    # (the reference's timm create_random_augment resample; PIL default
+    # bicubic). The fused path stays bilinear — its single-resample
+    # composition is already a documented approximation.
+    ra = make_rand_augment(
+        cfg.AUG.AA_TYPE, interpolation=cfg.AUG.INTERPOLATION
+    )
     re_prob = cfg.AUG.RE_PROB
 
     if cfg.AUG.FUSED_RA:

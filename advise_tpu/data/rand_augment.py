@@ -31,13 +31,40 @@ from advise_tpu.data.device_aug import (
 _LEVEL_DENOM = 10.0
 
 
-def warp_affine(clip: jnp.ndarray, inv: jnp.ndarray, fill: float = 128.0):
-    """Apply the inverse affine matrix `inv` [2, 3] to every frame of
-    [T, H, W, C] with bilinear sampling and constant fill (PIL
-    transform(AFFINE) semantics: output(x,y) = input(a x + b y + c, ...)).
+def _cubic_weights(frac: jnp.ndarray):
+    """PIL TRANSFORM bicubic filter taps at offsets (-1, 0, 1, 2) from the
+    floor sample. PIL's geometric transforms (Geometry.c) use the keys
+    cubic with a = -1.0 — NOT the a = -0.5 Catmull-Rom its resize path
+    uses (verified empirically against Image.transform on delta images:
+    taps at d=0.25 are [-0.047, 0.891, 0.297, -0.141] = a=-1 exactly)."""
+    a = -1.0
 
-    TPU layout: the clip is transposed to [H*W, T*C] so each of the four
-    corner gathers is one `take` of row-contiguous T*C-element slices —
+    def k(x):
+        ax = jnp.abs(x)
+        return jnp.where(
+            ax <= 1.0,
+            (a + 2.0) * ax**3 - (a + 3.0) * ax**2 + 1.0,
+            jnp.where(
+                ax < 2.0,
+                a * ax**3 - 5.0 * a * ax**2 + 8.0 * a * ax - 4.0 * a,
+                0.0,
+            ),
+        )
+
+    return [k(frac + 1.0), k(frac), k(frac - 1.0), k(frac - 2.0)]
+
+
+def warp_affine(clip: jnp.ndarray, inv: jnp.ndarray, fill: float = 128.0,
+                method: str = "bilinear"):
+    """Apply the inverse affine matrix `inv` [2, 3] to every frame of
+    [T, H, W, C] with bilinear (default) or bicubic sampling and constant
+    fill (PIL transform(AFFINE) semantics: output(x,y) =
+    input(a x + b y + c, ...)). ``method='bicubic'`` honors
+    AUG.INTERPOLATION for the op-exact RandAugment path (16 taps, PIL's
+    a=-0.5 kernel).
+
+    TPU layout: the clip is transposed to [H*W, T*C] so each corner
+    gather is one `take` of row-contiguous T*C-element slices —
     measured 1.5x faster than indexing [T, H, W, C] with 2D index arrays
     (the gather walks 384 contiguous bytes per index instead of T strided
     12-byte reads)."""
@@ -61,37 +88,55 @@ def warp_affine(clip: jnp.ndarray, inv: jnp.ndarray, fill: float = 128.0):
         vals = jnp.take(flat, (yi_c * w + xi_c).reshape(-1), axis=0)
         return jnp.where(valid[:, None], vals, fill)  # [H*W, T*C]
 
-    out = (
-        gather(y0, x0) * ((1 - wx) * (1 - wy)).reshape(-1)[:, None]
-        + gather(y0, x0 + 1) * (wx * (1 - wy)).reshape(-1)[:, None]
-        + gather(y0 + 1, x0) * ((1 - wx) * wy).reshape(-1)[:, None]
-        + gather(y0 + 1, x0 + 1) * (wx * wy).reshape(-1)[:, None]
-    )
+    if method == "bicubic":
+        kx = _cubic_weights(wx)
+        ky = _cubic_weights(wy)
+        out = 0.0
+        for j in range(4):  # y taps at y0 + (j-1)
+            row = 0.0
+            for i in range(4):  # x taps at x0 + (i-1)
+                row = row + gather(y0 + (j - 1), x0 + (i - 1)) * (
+                    kx[i].reshape(-1)[:, None]
+                )
+            out = out + row * ky[j].reshape(-1)[:, None]
+    else:
+        out = (
+            gather(y0, x0) * ((1 - wx) * (1 - wy)).reshape(-1)[:, None]
+            + gather(y0, x0 + 1) * (wx * (1 - wy)).reshape(-1)[:, None]
+            + gather(y0 + 1, x0) * ((1 - wx) * wy).reshape(-1)[:, None]
+            + gather(y0 + 1, x0 + 1) * (wx * wy).reshape(-1)[:, None]
+        )
     out = out.reshape(h, w, t, c).transpose(2, 0, 1, 3)
     return _round_u8(out)
 
 
-def _affine(clip, a, b, c, d, e, f):
-    return warp_affine(clip, jnp.asarray([[a, b, c], [d, e, f]], jnp.float32))
+def _affine(clip, a, b, c, d, e, f, method="bilinear"):
+    return warp_affine(
+        clip, jnp.asarray([[a, b, c], [d, e, f]], jnp.float32), method=method
+    )
 
 
-def shear_x(clip, v):
-    return _affine(clip, 1.0, v, 0.0, 0.0, 1.0, 0.0)
+def shear_x(clip, v, method="bilinear"):
+    return _affine(clip, 1.0, v, 0.0, 0.0, 1.0, 0.0, method=method)
 
 
-def shear_y(clip, v):
-    return _affine(clip, 1.0, 0.0, 0.0, v, 1.0, 0.0)
+def shear_y(clip, v, method="bilinear"):
+    return _affine(clip, 1.0, 0.0, 0.0, v, 1.0, 0.0, method=method)
 
 
-def translate_x(clip, pct):
-    return _affine(clip, 1.0, 0.0, pct * clip.shape[2], 0.0, 1.0, 0.0)
+def translate_x(clip, pct, method="bilinear"):
+    return _affine(
+        clip, 1.0, 0.0, pct * clip.shape[2], 0.0, 1.0, 0.0, method=method
+    )
 
 
-def translate_y(clip, pct):
-    return _affine(clip, 1.0, 0.0, 0.0, 0.0, 1.0, pct * clip.shape[1])
+def translate_y(clip, pct, method="bilinear"):
+    return _affine(
+        clip, 1.0, 0.0, 0.0, 0.0, 1.0, pct * clip.shape[1], method=method
+    )
 
 
-def rotate(clip, degrees):
+def rotate(clip, degrees, method="bilinear"):
     """PIL rotate about the center."""
     h, w = clip.shape[1], clip.shape[2]
     theta = -degrees * jnp.pi / 180.0
@@ -103,7 +148,8 @@ def rotate(clip, degrees):
     c = cx - a * cx - b * cy
     f = cy - d * cx - e * cy
     return warp_affine(
-        clip, jnp.stack([jnp.stack([a, b, c]), jnp.stack([d, e, f])])
+        clip, jnp.stack([jnp.stack([a, b, c]), jnp.stack([d, e, f])]),
+        method=method,
     )
 
 
@@ -260,29 +306,35 @@ def _parse_ra_config(config_str: str, num_ops: Optional[int] = None):
     return magnitude, n, mstd, inc
 
 
-def make_rand_augment(config_str: str, num_ops: Optional[int] = None):
+def make_rand_augment(config_str: str, num_ops: Optional[int] = None,
+                      interpolation: str = "bilinear"):
     """RandAugment, op-exact sequential path: apply(clip_u8f [T,H,W,C],
-    rng) -> clip (reference rand_augment_transform :445-533)."""
+    rng) -> clip (reference rand_augment_transform :445-533).
+
+    ``interpolation`` follows AUG.INTERPOLATION for the geometric warps
+    (the reference passes it to timm create_random_augment; PIL default
+    there is bicubic)."""
     magnitude, n, mstd, inc = _parse_ra_config(config_str, num_ops)
+    interp = "bicubic" if interpolation in ("bicubic", "cubic") else "bilinear"
 
     def lvl(m_eff, frac):
         return m_eff / _LEVEL_DENOM * frac
 
     # op table: (fn taking (clip, rng, m_eff))
     def op_shear_x(c, r, m):
-        return shear_x(c, _signed(r, lvl(m, 0.3)))
+        return shear_x(c, _signed(r, lvl(m, 0.3)), method=interp)
 
     def op_shear_y(c, r, m):
-        return shear_y(c, _signed(r, lvl(m, 0.3)))
+        return shear_y(c, _signed(r, lvl(m, 0.3)), method=interp)
 
     def op_trans_x(c, r, m):
-        return translate_x(c, _signed(r, lvl(m, 0.45)))
+        return translate_x(c, _signed(r, lvl(m, 0.45)), method=interp)
 
     def op_trans_y(c, r, m):
-        return translate_y(c, _signed(r, lvl(m, 0.45)))
+        return translate_y(c, _signed(r, lvl(m, 0.45)), method=interp)
 
     def op_rotate(c, r, m):
-        return rotate(c, _signed(r, lvl(m, 30.0)))
+        return rotate(c, _signed(r, lvl(m, 30.0)), method=interp)
 
     def op_posterize(c, r, m):
         # timm: bits = 4 - int(lvl*4) (increasing) or int(lvl*4); bits == 0

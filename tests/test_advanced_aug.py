@@ -298,3 +298,20 @@ def test_masking_generators():
     m3 = gen3(np.random.default_rng(0))
     assert m3.shape == (2, 8, 8)
     assert m3.sum() > 0
+
+
+def test_rotate_bicubic_matches_pil(frame):
+    """AUG.INTERPOLATION='bicubic': PIL's TRANSFORM bicubic is the keys
+    kernel with a = -1.0 (Geometry.c — not the a=-0.5 its resize uses;
+    reverse-engineered from delta images). Away from the fill boundary
+    (the 4-tap support blends with fill over a wider band than bilinear)
+    the warp matches PIL to the rounding digit."""
+    pil = np.asarray(
+        Image.fromarray(frame).rotate(
+            -17.0, resample=Image.BICUBIC, fillcolor=(128, 128, 128)
+        )
+    )
+    ours = _ours(lambda c: ra.rotate(c, jnp.float32(17.0), method="bicubic"), frame)
+    d = np.abs(ours - pil.astype(np.float32))
+    assert (d[6:-6, 6:-6] <= 2.0).mean() == 1.0
+    assert (d <= 2.0).mean() > 0.88  # fill-boundary band excluded
