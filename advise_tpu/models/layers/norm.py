@@ -67,6 +67,20 @@ class SyncBatchNorm(nn.Module):
             else None
         )
 
+        def affine_fold(xv, mean, var):
+            """Normalize + affine as ONE per-channel FMA: y = x*w + b with
+            w = scale*rsqrt(var+eps), b = bias - mean*w — half the
+            per-element VPU ops of the naive ((x-mean)*inv)*scale+bias
+            chain; the [C]-sized weight precompute is free. Same f32
+            math, LSB-level association difference only."""
+            w = lax.rsqrt(var + self.epsilon)
+            if scale is not None:
+                w = w * scale
+            b_eff = -mean * w
+            if bias is not None:
+                b_eff = b_eff + bias
+            return xv * w + b_eff
+
         xf = x.astype(jnp.float32)
         if train:
             if self.num_splits > 1:
@@ -81,10 +95,10 @@ class SyncBatchNorm(nn.Module):
                     meansq_s = lax.pmean(meansq_s, self.sync_axes)
                 var_s = meansq_s - jnp.square(mean_s)
                 # normalize each split with its own stats
-                inv = lax.rsqrt(var_s + self.epsilon)[:, None]
                 flat = xs.reshape(self.num_splits, -1, features)
-                normed = (flat - mean_s[:, None]) * inv
-                y = normed.reshape(xf.shape)
+                y = affine_fold(
+                    flat, mean_s[:, None], var_s[:, None]
+                ).reshape(xf.shape)
                 mean, var = jnp.mean(mean_s, 0), jnp.mean(var_s, 0)
                 n = xs[0].size / features * (
                     _axes_size(self.sync_axes) if self.sync_axes else 1
@@ -97,7 +111,7 @@ class SyncBatchNorm(nn.Module):
                     mean = lax.pmean(mean, self.sync_axes)
                     meansq = lax.pmean(meansq, self.sync_axes)
                 var = meansq - jnp.square(mean)
-                y = (xf - mean) * lax.rsqrt(var + self.epsilon)
+                y = affine_fold(xf, mean, var)
                 n = xf.size / features * (
                     _axes_size(self.sync_axes) if self.sync_axes else 1
                 )
@@ -108,12 +122,7 @@ class SyncBatchNorm(nn.Module):
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
-            y = (xf - ra_mean.value) * lax.rsqrt(ra_var.value + self.epsilon)
-
-        if scale is not None:
-            y = y * scale
-        if bias is not None:
-            y = y + bias
+            y = affine_fold(xf, ra_mean.value, ra_var.value)
         return y.astype(self.dtype or x.dtype)
 
 
