@@ -114,6 +114,14 @@ _C.TPU.PROFILE_STEPS = 5
 # measured on the chip.
 _C.TPU.STEM_S2D = False
 
+# With STEM_S2D: zero-pad the fast-pathway stem conv's OUTPUT channels to
+# this width and slice back after (bit-exact; padded channels are inert).
+# Round-3 trace: the 12->8-channel s2d stem conv + weight grad lower as
+# VPU reductions (<1 TF/s, ~92 ms/step at bs16) because an 8-wide output
+# fills 6% of a 128-lane tile; a lane-aligned output width can tip the
+# lowering onto the MXU. 0 disables. Measured results in BASELINE.md.
+_C.TPU.STEM_PAD_OUT = 0
+
 # Persistent XLA compilation cache directory ('' disables, the default).
 # On real TPU backends serialized executables are reused across
 # processes/restarts — multi-minute flagship-step compiles become

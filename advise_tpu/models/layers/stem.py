@@ -45,6 +45,14 @@ class SpaceToDepthStemConv(nn.Module):
     features: int
     temp_kernel: int
     dtype: Optional[jnp.dtype] = None
+    # TPU.STEM_PAD_OUT: zero-pad the kernel's OUTPUT channels to this
+    # width and slice the conv result back to `features` — bit-exact
+    # (padded channels never influence the kept ones; their weight grads
+    # are discarded pad-slices). Round-3 trace motivation: with 8 real
+    # output channels XLA lowers the conv + weight-grad as VPU
+    # reductions (<1 TF/s, ~92 ms/step); a 128-lane-aligned output can
+    # tip the lowering onto the MXU.
+    pad_out: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -64,14 +72,23 @@ class SpaceToDepthStemConv(nn.Module):
         w2 = wp.reshape(kt, 4, 2, 4, 2, c, self.features)
         w2 = w2.transpose(0, 1, 3, 2, 4, 5, 6)
         w2 = w2.reshape(kt, 4, 4, 4 * c, self.features)
+        if self.pad_out > self.features:
+            w2 = jnp.pad(
+                w2,
+                ((0, 0), (0, 0), (0, 0), (0, 0),
+                 (0, self.pad_out - self.features)),
+            )
         dtype = self.dtype or x.dtype
-        return jax.lax.conv_general_dilated(
+        out = jax.lax.conv_general_dilated(
             x2.astype(dtype),
             w2.astype(dtype),
             window_strides=(1, 1, 1),
             padding=((kt // 2, kt // 2), (2, 1), (2, 1)),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )
+        if self.pad_out > self.features:
+            out = out[..., : self.features]
+        return out
 
 
 def max_pool_3d(x, window: Sequence[int], strides: Sequence[int], padding):
@@ -94,6 +111,7 @@ class ResNetBasicStem(nn.Module):
     norm: Callable
     dtype: Optional[jnp.dtype] = None
     s2d: bool = False
+    pad_out: int = 0  # see SpaceToDepthStemConv.pad_out
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -102,6 +120,7 @@ class ResNetBasicStem(nn.Module):
                 features=self.dim_out,
                 temp_kernel=self.temp_kernel,
                 dtype=self.dtype,
+                pad_out=self.pad_out,
                 name="conv",
             )(x)
         else:

@@ -93,7 +93,8 @@ class SlowFast(nn.Module):
         )(x_s, train)
         x_f = ResNetBasicStem(
             dim_out=w // beta_inv, temp_kernel=tk[0][1][0], norm=self.norm,
-            dtype=self.dtype, s2d=cfg.TPU.STEM_S2D, name="s1_fast",
+            dtype=self.dtype, s2d=cfg.TPU.STEM_S2D,
+            pad_out=int(cfg.TPU.STEM_PAD_OUT), name="s1_fast",
         )(x_f, train)
         x_s, x_f = FuseFastToSlow(
             fusion_conv_channel_ratio=fuse_ratio, fusion_kernel=fuse_k,

@@ -106,3 +106,30 @@ def test_stem_s2d_in_module_same_param_path():
     np.testing.assert_allclose(
         np.asarray(out_odd), np.asarray(ref_odd), rtol=2e-4, atol=2e-4
     )
+
+
+def test_stem_pad_out_bit_exact():
+    """TPU.STEM_PAD_OUT zero-pads the s2d kernel's output channels and
+    slices back — forward AND weight-grad must match pad_out=0 exactly
+    (padded channels are inert; their grads are discarded pad slices)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advise_tpu.models.layers.stem import SpaceToDepthStemConv
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 4, 16, 16, 3)), jnp.float32
+    )
+    outs, grads = {}, {}
+    for pad in (0, 32):
+        m = SpaceToDepthStemConv(features=8, temp_kernel=5, pad_out=pad)
+        v = m.init({"params": jax.random.PRNGKey(0)}, x)
+
+        def loss(params):
+            return jnp.sum(m.apply({"params": params}, x) ** 2)
+
+        outs[pad] = np.asarray(m.apply(v, x))
+        grads[pad] = np.asarray(jax.grad(loss)(v["params"])["kernel"])
+    np.testing.assert_array_equal(outs[0], outs[32])
+    np.testing.assert_array_equal(grads[0], grads[32])
