@@ -45,13 +45,17 @@ class SpaceToDepthStemConv(nn.Module):
     features: int
     temp_kernel: int
     dtype: Optional[jnp.dtype] = None
-    # TPU.STEM_PAD_OUT: zero-pad the kernel's OUTPUT channels to this
-    # width and slice the conv result back to `features` — bit-exact
-    # (padded channels never influence the kept ones; their weight grads
-    # are discarded pad-slices). Round-3 trace motivation: with 8 real
-    # output channels XLA lowers the conv + weight-grad as VPU
-    # reductions (<1 TF/s, ~92 ms/step); a 128-lane-aligned output can
-    # tip the lowering onto the MXU.
+    # TPU.STEM_PAD_OUT: compute the WEIGHT GRADIENT through a conv whose
+    # output channels are zero-padded to this width (the cotangent pads
+    # with zeros, the padded weight-grad slices back — exact in exact
+    # arithmetic; bit-equal unbatched, association-level ~1e-4 under the
+    # vmapped-views lowering). The
+    # forward stays at the real width. Round-3 chip sweep (32 clips x
+    # 32f s2d shape): the 8-wide weight-grad lowers as VPU reductions at
+    # 41.5 ms, the 32-wide one as MXU work at 11.4 ms (3.6x), while a
+    # padded FORWARD costs +15 ms — so only the backward pads. The
+    # input gradient is computed through the ordinary conv (and DCE'd by
+    # XLA when nothing upstream needs it, the device-aug case).
     pad_out: int = 0
 
     @nn.compact
@@ -72,23 +76,49 @@ class SpaceToDepthStemConv(nn.Module):
         w2 = wp.reshape(kt, 4, 2, 4, 2, c, self.features)
         w2 = w2.transpose(0, 1, 3, 2, 4, 5, 6)
         w2 = w2.reshape(kt, 4, 4, 4 * c, self.features)
-        if self.pad_out > self.features:
-            w2 = jnp.pad(
-                w2,
-                ((0, 0), (0, 0), (0, 0), (0, 0),
-                 (0, self.pad_out - self.features)),
-            )
         dtype = self.dtype or x.dtype
-        out = jax.lax.conv_general_dilated(
-            x2.astype(dtype),
-            w2.astype(dtype),
-            window_strides=(1, 1, 1),
-            padding=((kt // 2, kt // 2), (2, 1), (2, 1)),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )
-        if self.pad_out > self.features:
-            out = out[..., : self.features]
-        return out
+
+        def conv(xx, ww):
+            return jax.lax.conv_general_dilated(
+                xx, ww,
+                window_strides=(1, 1, 1),
+                padding=((kt // 2, kt // 2), (2, 1), (2, 1)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+
+        x2 = x2.astype(dtype)
+        w2 = w2.astype(dtype)
+        if self.pad_out <= self.features:
+            return conv(x2, w2)
+        pad_to = int(self.pad_out)
+
+        @jax.custom_vjp
+        def conv_pad_bwd(xx, ww):
+            return conv(xx, ww)
+
+        def fwd(xx, ww):
+            return conv(xx, ww), (xx, ww)
+
+        def bwd(res, g):
+            xx, ww = res
+            # weight grad via the lane-aligned padded conv: conv is linear
+            # in w, so the vjp at a zero primal is exact; the padded
+            # cotangent columns are zero, so the sliced grad is bit-equal
+            gp = jnp.pad(
+                g, ((0, 0),) * 4 + ((0, pad_to - g.shape[-1]),)
+            )
+            wz = jnp.zeros(ww.shape[:-1] + (pad_to,), ww.dtype)
+            _, vjp_w = jax.vjp(lambda w_: conv(xx, w_), wz)
+            (gw_pad,) = vjp_w(gp)
+            gw = gw_pad[..., : ww.shape[-1]]
+            # true input grad through the ordinary conv (XLA removes it
+            # when unused — e.g. device-aug inputs)
+            _, vjp_x = jax.vjp(lambda x_: conv(x_, ww), xx)
+            (gx,) = vjp_x(g)
+            return gx, gw
+
+        conv_pad_bwd.defvjp(fwd, bwd)
+        return conv_pad_bwd(x2, w2)
 
 
 def max_pool_3d(x, window: Sequence[int], strides: Sequence[int], padding):

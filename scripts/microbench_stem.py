@@ -54,19 +54,19 @@ def main():
             x.shape, w.shape, ("NTHWC", "THWIO", "NTHWC")
         )
 
-        def conv(w):
+        def conv(xx, w):
             return jax.lax.conv_general_dilated(
-                x, w, window_strides=(1, 1, 1),
+                xx, w, window_strides=(1, 1, 1),
                 padding=((2, 2), (1, 2), (1, 2)),
                 dimension_numbers=dn_c,
             )
 
-        def loss(w):
-            y = conv(w)[..., :8]  # only the real 8 channels matter
+        def loss(xx, w):
+            y = conv(xx, w)[..., :8]  # only the real 8 channels matter
             return jnp.sum(y.astype(jnp.float32) ** 2)
 
-        dt_f = timeit(jax.jit(conv), w)
-        dt_g = timeit(jax.jit(jax.value_and_grad(loss)), w)
+        dt_f = timeit(jax.jit(conv), x, w)
+        dt_g = timeit(jax.jit(jax.value_and_grad(loss, argnums=1)), x, w)
         print(f"c_out={c_out:4d}: fwd {dt_f*1e3:7.1f} ms   "
               f"fwd+wgrad {dt_g*1e3:7.1f} ms", flush=True)
 
