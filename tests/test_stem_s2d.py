@@ -148,3 +148,41 @@ def test_stem_pad_out_bit_exact():
 
         grads[f"v{pad}"] = np.asarray(jax.grad(loss_v)(v["params"])["kernel"])
     np.testing.assert_allclose(grads["v0"], grads["v32"], rtol=5e-2, atol=5e-4)
+
+
+def test_stem_pad_out_under_shard_map_vmap():
+    """The custom-vjp padded weight-grad must compose with the step's
+    actual execution context: shard_map over the ('data','sync') mesh,
+    vmapped views, value_and_grad, grad pmean."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "sync"))
+    m = SpaceToDepthStemConv(features=8, temp_kernel=5, pad_out=32)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 2, 2, 4, 16, 16, 3)),
+        jnp.float32,
+    )  # [global_B, views, T, H, W, C]
+    v = m.init({"params": jax.random.PRNGKey(0)}, x[0, 0])
+
+    def per_device(params, xb):
+        def loss(p):
+            y = jax.vmap(jax.vmap(lambda xx: m.apply({"params": p}, xx)))(xb)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        l, g = jax.value_and_grad(loss)(params)
+        return jax.lax.pmean(l, ("data", "sync")), jax.tree_util.tree_map(
+            lambda t: jax.lax.pmean(t, ("data", "sync")), g
+        )
+
+    f = jax.jit(shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(("data", "sync"))),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    l, g = f(v["params"], x)
+    assert np.isfinite(float(l))
+    gk = np.asarray(g["kernel"])
+    assert np.isfinite(gk).all() and np.abs(gk).max() > 0
