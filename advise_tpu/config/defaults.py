@@ -114,12 +114,13 @@ _C.TPU.PROFILE_STEPS = 5
 # measured on the chip.
 _C.TPU.STEM_S2D = False
 
-# With STEM_S2D: zero-pad the fast-pathway stem conv's OUTPUT channels to
-# this width and slice back after (bit-exact; padded channels are inert).
-# Round-3 trace: the 12->8-channel s2d stem conv + weight grad lower as
-# VPU reductions (<1 TF/s, ~92 ms/step at bs16) because an 8-wide output
-# fills 6% of a 128-lane tile; a lane-aligned output width can tip the
-# lowering onto the MXU. 0 disables. Measured results in BASELINE.md.
+# With STEM_S2D: route the fast-stem WEIGHT GRADIENT through a conv with
+# output channels zero-padded to this width (custom_vjp; forward stays at
+# the real width). Measured REFUTED as a step win on v5e (BASELINE.md
+# round-3 stem endgame): the raw-conv wgrad is 3.6x faster padded
+# (41.5 -> 11.4 ms) but through the module the win disappears (79.2 vs
+# 78.6 ms fwd+wgrad) and the vmapped-views lowering regresses (93.5 ms).
+# Kept as a tested knob for other XLA versions/chips; 0 (default) = off.
 _C.TPU.STEM_PAD_OUT = 0
 
 # Persistent XLA compilation cache directory ('' disables, the default).
