@@ -123,6 +123,14 @@ _C.TPU.STEM_S2D = False
 # Kept as a tested knob for other XLA versions/chips; 0 (default) = off.
 _C.TPU.STEM_PAD_OUT = 0
 
+# BYOL + SlowFast + STEM_S2D: compute the ONLINE and EMA towers' stem
+# convolutions as ONE channel-concatenated conv per pathway (the towers
+# see identical inputs; conv output channels are independent, so slicing
+# the concat is algebraically identical to two convs). Measured on v5e
+# (scripts/microbench_stem.py fused-towers case): 61.7 ms vs 104.5 ms
+# for the separate towers at flagship shapes — ~43 ms/step.
+_C.TPU.FUSE_EMA_STEM = False
+
 # Persistent XLA compilation cache directory ('' disables, the default).
 # On real TPU backends serialized executables are reused across
 # processes/restarts — multi-minute flagship-step compiles become

@@ -290,15 +290,154 @@ def knn_update(cfg, ssl, q, index) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
+def _fused_stem_conv_outs(cfg, params, ema_params, flat, dtype):
+    """TPU.FUSE_EMA_STEM: compute BOTH towers' SlowFast stem convs as ONE
+    channel-concatenated s2d conv per pathway.
+
+    Round-3 chip measurement (scripts/microbench_stem.py fused-towers
+    case, flagship s2d shapes): one c16 conv with the EMA half's
+    cotangent zero costs 61.7 ms where the separate towers cost
+    [c8 fwd+wgrad 73.0 (online)] + [c8 fwd 31.5 (EMA)] = 104.5 ms — a
+    ~43 ms/step saving. Channel outputs of a conv are independent, so
+    slicing the concat result is algebraically identical to two convs.
+
+    flat: [N, T, H, W, C] (views folded into batch — the stem has no
+    batch-coupled ops, so folding is exact). Returns
+    ((online_slow, online_fast), (ema_slow, ema_fast)) conv outputs.
+    """
+    from advise_tpu.models.layers.stem import (
+        s2d_conv,
+        s2d_remap_kernel,
+        s2d_repack_input,
+    )
+    from advise_tpu.models.slowfast import SLOWFAST_TEMP_KERNELS as TK
+
+    alpha = cfg.SLOWFAST.ALPHA
+    # ContrastiveModel nests the backbone params one level down
+    p_on = params.get("backbone", params)
+    p_em = ema_params.get("backbone", ema_params)
+    outs = {}
+    for path, x_p, kt in (
+        ("slow", flat[:, ::alpha], TK[0][0][0]),
+        ("fast", flat, TK[0][1][0]),
+    ):
+        k_on = p_on[f"s1_{path}"]["conv"]["kernel"]
+        k_em = jax.lax.stop_gradient(
+            p_em[f"s1_{path}"]["conv"]["kernel"]
+        )
+        w_cat = jnp.concatenate(
+            [s2d_remap_kernel(k_on, kt), s2d_remap_kernel(k_em, kt)],
+            axis=-1,
+        ).astype(dtype)
+        y = s2d_conv(s2d_repack_input(x_p).astype(dtype), w_cat, kt)
+        c = k_on.shape[-1]
+        outs[path] = (y[..., :c], jax.lax.stop_gradient(y[..., c:]))
+    return (
+        (outs["slow"][0], outs["fast"][0]),
+        (outs["slow"][1], outs["fast"][1]),
+    )
+
+
+def _byol_fused_stem(cfg, model, params, batch_stats, ssl, views, rng):
+    """BYOL online + EMA forwards with the fused stem convs (see
+    :func:`_fused_stem_conv_outs`). Returns (outs_per_view, new_bs,
+    keys, ema_bs): the same quantities the VMAP_VIEWS path produces."""
+    stacked = jnp.stack(views[:2])  # [2, B, ...]
+    v2, b = stacked.shape[:2]
+    flat = stacked.reshape(v2 * b, *stacked.shape[2:])
+    (on_s, on_f), (em_s, em_f) = _fused_stem_conv_outs(
+        cfg, params, ssl["ema_params"], flat, stacked.dtype
+    )
+
+    def unflat(y):
+        return y.reshape(v2, b, *y.shape[1:])
+
+    on_s, on_f = unflat(on_s), unflat(on_f)
+    em_s, em_f = unflat(em_s), unflat(em_f)
+
+    def one_online(v, s, f):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            v, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng},
+            stem_conv_out=(s, f),
+        )
+
+    out, mutated = jax.vmap(one_online)(stacked, on_s, on_f)
+    new_bs = jax.tree_util.tree_map(
+        lambda x: x.mean(axis=0),
+        mutated.get("batch_stats", batch_stats),
+    )
+
+    view_keys = jnp.stack(
+        [jax.random.fold_in(rng, 100 + i) for i in range(v2)]
+    )
+
+    def one_ema(v, s, f, r):
+        return model.apply(
+            {"params": ssl["ema_params"],
+             "batch_stats": ssl["ema_batch_stats"]},
+            v, train=True, mutable=["batch_stats"],
+            rngs={"dropout": r},
+            stem_conv_out=(s, f),
+        )
+
+    ema_out, ema_mut = jax.vmap(one_ema)(
+        jax.lax.stop_gradient(stacked), em_s, em_f, view_keys
+    )
+    ema_bs = jax.tree_util.tree_map(
+        lambda x: x.mean(axis=0),
+        ema_mut.get("batch_stats", ssl["ema_batch_stats"]),
+    )
+    ema_proj = (
+        ema_out[0] if isinstance(ema_out, (list, tuple)) else ema_out
+    )
+    keys = [
+        jax.lax.stop_gradient(l2_normalize(ema_proj[i])) for i in range(v2)
+    ]
+    return out, new_bs, keys, jax.lax.stop_gradient(ema_bs)
+
+
+def _fuse_stem_on(cfg):
+    return (
+        getattr(cfg.TPU, "FUSE_EMA_STEM", False)
+        and cfg.MODEL.ARCH == "slowfast"
+        and cfg.TPU.STEM_S2D
+        and cfg.TPU.VMAP_VIEWS
+        and cfg.TPU.PARTITION_MODE == "shard_map"
+    )
+
+
 def byol_loss(cfg, model, params, batch_stats, ssl, views, infos, rng):
     """(reference :508-597): symmetric predictor-vs-EMA-key similarity,
     sim_loss = -(q_hat . k_hat)/T averaged (:243-249).
 
     TPU.VMAP_VIEWS (default): both online forwards run as ONE vmapped
     batched program (BN statistics still per view — see
-    :func:`_vmap_views_apply`); measured 1.35x on the SlowFast-R50 step."""
+    :func:`_vmap_views_apply`); measured 1.35x on the SlowFast-R50 step.
+    TPU.FUSE_EMA_STEM additionally computes the online and EMA towers'
+    stem convs as one channel-concatenated conv (slowfast + s2d only;
+    see :func:`_fused_stem_conv_outs`)."""
     assert len(views) >= 2, "BYOL needs 2 clips per video"
     t = cfg.CONTRASTIVE.T
+    if _fuse_stem_on(cfg):
+        out, bs2, keys, ema_bs = _byol_fused_stem(
+            cfg, model, params, batch_stats, ssl, views, rng
+        )
+        outs = [
+            jax.tree_util.tree_map(lambda x: x[i], out) for i in range(2)
+        ]
+        proj1, preds1 = _proj_and_preds(outs[0])
+        _, preds2 = _proj_and_preds(outs[1])
+        assert preds1, "BYOL requires CONTRASTIVE.PREDICTOR_DEPTHS"
+        loss = (
+            -(jnp.sum(preds1[0] * keys[1], axis=-1)).mean() / t
+            + -(jnp.sum(preds2[0] * keys[0], axis=-1)).mean() / t
+        )
+        ssl = dict(ssl)
+        ssl["ema_batch_stats"] = ema_bs
+        ssl = knn_update(cfg, ssl, l2_normalize(proj1), infos["item_id"])
+        return loss, bs2, ssl, {"loss_byol": loss}
     if cfg.TPU.VMAP_VIEWS:
         out, bs2 = _vmap_views_apply(
             model, params, batch_stats, jnp.stack(views[:2]), rng

@@ -70,7 +70,11 @@ class ContrastiveModel(nn.Module):
                 (self.cfg.CONTRASTIVE.DIM, SWAV_NUM_PROTOTYPES),
             )
 
-    def __call__(self, x: jnp.ndarray, train: bool = True):
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 stem_conv_out=None):
+        if stem_conv_out is not None:
+            # TPU.FUSE_EMA_STEM: precomputed stem-conv outputs (SlowFast)
+            return self.backbone(x, train, stem_conv_out=stem_conv_out)
         return self.backbone(x, train)
 
     def prototypes(self, proj: jnp.ndarray) -> jnp.ndarray:

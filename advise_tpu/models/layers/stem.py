@@ -15,6 +15,38 @@ from flax import linen as nn
 from advise_tpu.models.layers.common import msra_init
 
 
+def s2d_repack_input(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, H, W, C] -> [B, T, H/2, W/2, 4C]: pack 2x2 spatial blocks
+    into channels, order (ph, pw, c) (the SpaceToDepthStemConv input
+    transform; exported pure so engine-level fused stems reuse it)."""
+    b, t, h, w, c = x.shape
+    x2 = x.reshape(b, t, h // 2, 2, w // 2, 2, c)
+    x2 = x2.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x2.reshape(b, t, h // 2, w // 2, 4 * c)
+
+
+def s2d_remap_kernel(kernel: jnp.ndarray, kt: int) -> jnp.ndarray:
+    """[kt, 7, 7, C, O] stride-2 stem kernel -> the losslessly remapped
+    [kt, 4, 4, 4C, O] stride-1 s2d kernel: front-pad each spatial dim
+    (7 -> 8 taps) and regroup as (cell, parity) per axis."""
+    c, o = kernel.shape[3], kernel.shape[4]
+    wp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = wp.reshape(kt, 4, 2, 4, 2, c, o)
+    w2 = w2.transpose(0, 1, 3, 2, 4, 5, 6)
+    return w2.reshape(kt, 4, 4, 4 * c, o)
+
+
+def s2d_conv(x2: jnp.ndarray, w2: jnp.ndarray, kt: int) -> jnp.ndarray:
+    """The stride-1 conv over s2d-repacked inputs with the remapped
+    kernel (cell padding asymmetric 2 left / 1 right)."""
+    return jax.lax.conv_general_dilated(
+        x2, w2,
+        window_strides=(1, 1, 1),
+        padding=((kt // 2, kt // 2), (2, 1), (2, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
 class SpaceToDepthStemConv(nn.Module):
     """The (t,7,7)/s(1,2,2) stem convolution computed on a 2×2
     space-to-depth input (TPU.STEM_S2D).
@@ -66,25 +98,12 @@ class SpaceToDepthStemConv(nn.Module):
         kernel = self.param(
             "kernel", msra_init, (kt, 7, 7, c, self.features)
         )
-        # input: pack 2x2 spatial blocks into channels, order (ph, pw, c)
-        x2 = x.reshape(b, t, h // 2, 2, w // 2, 2, c)
-        x2 = x2.transpose(0, 1, 2, 4, 3, 5, 6)
-        x2 = x2.reshape(b, t, h // 2, w // 2, 4 * c)
-        # kernel: front-pad each spatial dim (7 -> 8 taps), regroup into
-        # (cell ah, parity ph) x (cell aw, parity pw)
-        wp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
-        w2 = wp.reshape(kt, 4, 2, 4, 2, c, self.features)
-        w2 = w2.transpose(0, 1, 3, 2, 4, 5, 6)
-        w2 = w2.reshape(kt, 4, 4, 4 * c, self.features)
+        x2 = s2d_repack_input(x)
+        w2 = s2d_remap_kernel(kernel, kt)
         dtype = self.dtype or x.dtype
 
         def conv(xx, ww):
-            return jax.lax.conv_general_dilated(
-                xx, ww,
-                window_strides=(1, 1, 1),
-                padding=((kt // 2, kt // 2), (2, 1), (2, 1)),
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            )
+            return s2d_conv(xx, ww, kt)
 
         x2 = x2.astype(dtype)
         w2 = w2.astype(dtype)
@@ -144,8 +163,15 @@ class ResNetBasicStem(nn.Module):
     pad_out: int = 0  # see SpaceToDepthStemConv.pad_out
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        if self.s2d and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0:
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 conv_out: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # conv_out: precomputed stem-conv output (the engine-level fused
+        # online+EMA stem, TPU.FUSE_EMA_STEM) — skip the conv module, run
+        # BN/relu/pool on the injected tensor. Only valid at apply time
+        # (init never passes it, so the conv params always exist).
+        if conv_out is not None:
+            x = conv_out
+        elif self.s2d and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0:
             x = SpaceToDepthStemConv(
                 features=self.dim_out,
                 temp_kernel=self.temp_kernel,

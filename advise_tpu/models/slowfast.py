@@ -69,7 +69,13 @@ class SlowFast(nn.Module):
     include_head: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True):
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 stem_conv_out=None):
+        """``stem_conv_out``: optional (slow_conv, fast_conv) pair of
+        precomputed stem-conv outputs (TPU.FUSE_EMA_STEM: the engine
+        computes BOTH towers' stem convs as one channel-concatenated
+        conv — see engine/contrastive.fused_stem_conv_outs); stems then
+        run only their BN/relu/pool."""
         cfg = self.cfg
         alpha = cfg.SLOWFAST.ALPHA
         beta_inv = cfg.SLOWFAST.BETA_INV
@@ -87,15 +93,18 @@ class SlowFast(nn.Module):
         x_s = x[:, ::alpha]
 
         tk = SLOWFAST_TEMP_KERNELS
+        slow_conv = fast_conv = None
+        if stem_conv_out is not None:
+            slow_conv, fast_conv = stem_conv_out
         x_s = ResNetBasicStem(
             dim_out=w, temp_kernel=tk[0][0][0], norm=self.norm, dtype=self.dtype,
             s2d=cfg.TPU.STEM_S2D, name="s1_slow",
-        )(x_s, train)
+        )(x_s, train, conv_out=slow_conv)
         x_f = ResNetBasicStem(
             dim_out=w // beta_inv, temp_kernel=tk[0][1][0], norm=self.norm,
             dtype=self.dtype, s2d=cfg.TPU.STEM_S2D,
             pad_out=int(cfg.TPU.STEM_PAD_OUT), name="s1_fast",
-        )(x_f, train)
+        )(x_f, train, conv_out=fast_conv)
         x_s, x_f = FuseFastToSlow(
             fusion_conv_channel_ratio=fuse_ratio, fusion_kernel=fuse_k,
             alpha=alpha, norm=self.norm, dtype=self.dtype, name="s1_fuse",

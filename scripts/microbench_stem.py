@@ -45,6 +45,37 @@ def main():
         x.shape, (5, 4, 4, 12, 8), ("NTHWC", "THWIO", "NTHWC")
     )
 
+    # fused online+EMA towers model: ONE conv at c16 (both towers'
+    # weights concatenated); the EMA half's cotangent is zero
+    # (stop_gradient'ed keys). Compare vs the current cost
+    # [c8 fwd+wgrad (online) + c8 fwd (EMA)].
+    w16 = jnp.asarray(
+        rng.normal(size=(5, 4, 4, 12, 16)).astype(np.float32) * 0.01,
+        jnp.bfloat16,
+    )
+    dn16 = jax.lax.conv_dimension_numbers(
+        x.shape, w16.shape, ("NTHWC", "THWIO", "NTHWC")
+    )
+
+    def conv16(xx, w):
+        return jax.lax.conv_general_dilated(
+            xx, w, window_strides=(1, 1, 1),
+            padding=((2, 2), (1, 2), (1, 2)), dimension_numbers=dn16,
+        )
+
+    def loss16(xx, w):
+        y = conv16(xx, w)
+        online = jnp.sum(y[..., :8].astype(jnp.float32) ** 2)
+        ema = jnp.sum(
+            jax.lax.stop_gradient(y[..., 8:]).astype(jnp.float32) ** 2
+        )
+        return online + ema
+
+    dt_f16 = timeit(jax.jit(conv16), x, w16)
+    dt_g16 = timeit(jax.jit(jax.value_and_grad(loss16, argnums=1)), x, w16)
+    print(f"fused-towers c16: fwd {dt_f16*1e3:7.1f} ms   "
+          f"fwd+wgrad(half-zero-g) {dt_g16*1e3:7.1f} ms", flush=True)
+
     for c_out in (8, 32, 64, 128):
         w = jnp.asarray(
             rng.normal(size=(5, 4, 4, 12, c_out)).astype(np.float32) * 0.01,

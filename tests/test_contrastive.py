@@ -308,3 +308,38 @@ def test_contrastive_sequential_rejected_loudly():
         cfg.CONTRASTIVE.SEQUENTIAL = True
         cfg.TPU.PARTITION_MODE = "auto"
         assert_and_infer_cfg(cfg)
+
+
+def test_byol_fused_ema_stem_matches_unfused():
+    """TPU.FUSE_EMA_STEM computes online+EMA SlowFast stem convs as one
+    channel-concatenated conv; conv output channels are independent, so
+    the BYOL loss and the post-step params must match the unfused path
+    to float tolerance."""
+    results = {}
+    for fused in (False, True):
+        cfg = _cfg("byol")
+        cfg.MODEL.ARCH = "slowfast"
+        cfg.SLOWFAST.ALPHA = 2
+        cfg.SLOWFAST.BETA_INV = 2
+        cfg.SLOWFAST.FUSION_CONV_CHANNEL_RATIO = 2
+        cfg.SLOWFAST.FUSION_KERNEL_SZ = 3
+        cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[1, 1], [1, 1], [1, 1], [1, 1]]
+        cfg.TPU.STEM_S2D = True
+        cfg.TPU.FUSE_EMA_STEM = fused
+        mesh, model, state, step = _setup(cfg)
+        clips, infos = _batch(cfg)
+        new_state, stats = step(
+            state, clips, infos, jax.random.PRNGKey(0), jnp.float32(1e-2),
+            jnp.float32(0.5),
+        )
+        results[fused] = (
+            float(stats["loss_byol"]),
+            jax.tree_util.tree_map(np.asarray, new_state.params),
+        )
+    la, pa = results[False]
+    lb, pb = results[True]
+    np.testing.assert_allclose(lb, la, rtol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)
+    ):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5)
