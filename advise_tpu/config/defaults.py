@@ -126,9 +126,16 @@ _C.TPU.STEM_PAD_OUT = 0
 # BYOL + SlowFast + STEM_S2D: compute the ONLINE and EMA towers' stem
 # convolutions as ONE channel-concatenated conv per pathway (the towers
 # see identical inputs; conv output channels are independent, so slicing
-# the concat is algebraically identical to two convs). Measured on v5e
-# (scripts/microbench_stem.py fused-towers case): 61.7 ms vs 104.5 ms
-# for the separate towers at flagship shapes — ~43 ms/step.
+# the concat is algebraically identical to two convs — step-level parity
+# test). Standalone measurement: 61.7 vs 104.5 ms for separate towers —
+# but IN-STEP the win is erased: XLA's rematerialization runs the fused
+# conv TWICE (fwd + recompute in the backward; traced: fusion.3088 +
+# .remat = 56.5 ms/step) and the weight-grad stays at ~43 ms, totaling
+# ~100 ms vs the unfused 92 (full step 493 vs 483-498 variance). Third
+# consistent result (with RA_BATCHED and STEM_PAD_OUT): step-level XLA
+# scheduling — remat policy and BN-stat fusion — dominates isolated stem
+# kernel choices on this toolchain. Off by default; measured write-up in
+# BASELINE.md.
 _C.TPU.FUSE_EMA_STEM = False
 
 # Persistent XLA compilation cache directory ('' disables, the default).
