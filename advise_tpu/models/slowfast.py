@@ -84,6 +84,13 @@ class SlowFast(nn.Module):
         out_dim_ratio = beta_inv // fuse_ratio
 
         d2, d3, d4, d5 = MODEL_STAGE_DEPTH[cfg.RESNET.DEPTH]
+        stage_cls = ResStage
+        if cfg.TPU.REMAT or cfg.MODEL.ACT_CHECKPOINT:
+            # per-stage rematerialization (same policy as ResNet3D;
+            # previously SlowFast silently ignored TPU.REMAT)
+            stage_cls = nn.remat(
+                ResStage, static_argnums=(2,), prevent_cse=False
+            )
         num_groups = cfg.RESNET.NUM_GROUPS
         w = cfg.RESNET.WIDTH_PER_GROUP
         dim_inner = num_groups * w
@@ -120,7 +127,7 @@ class SlowFast(nn.Module):
         for si, (base_in, out_m, in_m, nblk, idx) in enumerate(stage_dims):
             slow_in = base_in + base_in // out_dim_ratio
             fast_in = base_in // beta_inv
-            outs = ResStage(
+            outs = stage_cls(
                 dim_in=[slow_in, fast_in],
                 dim_out=[w * out_m, w * out_m // beta_inv],
                 dim_inner=[dim_inner * in_m, dim_inner * in_m // beta_inv],

@@ -63,11 +63,16 @@ class X3D(nn.Module):
         dim_in = dim_res1
         dim_out = dim_in
         dim_inner = dim_in
+        stage_cls = ResStage
+        if cfg.TPU.REMAT or cfg.MODEL.ACT_CHECKPOINT:
+            stage_cls = nn.remat(
+                ResStage, static_argnums=(2,), prevent_cse=False
+            )
         for stage, (blocks, c, stride) in enumerate(block_basis):
             dim_out = round_width(c, w_mul)
             dim_inner = int(cfg.X3D.BOTTLENECK_FACTOR * dim_out)
             n_rep = int(math.ceil(d_mul * blocks))
-            x = ResStage(
+            x = stage_cls(
                 dim_in=[dim_in],
                 dim_out=[dim_out],
                 dim_inner=[dim_inner],
