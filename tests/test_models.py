@@ -177,3 +177,68 @@ def test_remat_variant_matches():
     m2 = build_model(cfg, sync_axes=())
     out2 = jax.jit(lambda v, x: m2.apply(v, x, train=False))(v, x)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+@pytest.mark.parametrize("arch", ["slowfast", "x3d"])
+def test_remat_grad_parity_slowfast_x3d(arch):
+    """TPU.REMAT was a silent no-op for SlowFast/X3D until round 3; now
+    that the stage wrapper honors it, remat on/off must give the same
+    forward and (to float tolerance) the same gradients."""
+    from advise_tpu.config import assert_and_infer_cfg, get_cfg
+
+    def make(remat):
+        cfg = get_cfg()
+        cfg.MODEL.NUM_CLASSES = 4
+        cfg.MODEL.HEAD_ACT = "none"
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.TPU.REMAT = remat
+        if arch == "slowfast":
+            cfg.MODEL.MODEL_NAME = "SlowFast"
+            cfg.MODEL.ARCH = "slowfast"
+            cfg.RESNET.DEPTH = 10
+            cfg.RESNET.TRANS_FUNC = "basic_transform"
+            cfg.RESNET.WIDTH_PER_GROUP = 8
+            cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[1, 1]] * 4
+            cfg.SLOWFAST.ALPHA = 2
+            cfg.SLOWFAST.BETA_INV = 2
+            cfg.SLOWFAST.FUSION_CONV_CHANNEL_RATIO = 2
+            cfg.SLOWFAST.FUSION_KERNEL_SZ = 3
+        else:
+            cfg.MODEL.MODEL_NAME = "X3D"
+        return build_model(assert_and_infer_cfg(cfg), sync_axes=())
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 4, 32, 32, 3)), jnp.float32
+    )
+    outs, grads = [], []
+    for remat in (False, True):
+        model = make(remat)
+        variables = jax.jit(
+            lambda m=model: m.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                x, train=False,
+            )
+        )()
+
+        def loss(params, m=model, bs=variables.get("batch_stats")):
+            o, _ = m.apply(
+                {"params": params, "batch_stats": bs},
+                x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)},
+            )
+            return jnp.sum(o**2), o
+
+        (l, o), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(
+            variables["params"]
+        )
+        outs.append(np.asarray(o))
+        grads.append(g)
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads[0]),
+        jax.tree_util.tree_leaves(grads[1]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
