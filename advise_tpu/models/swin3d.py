@@ -273,18 +273,27 @@ class BasicLayer(nn.Module):
     drop_path: Any = 0.0
     downsample: bool = False
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False  # TPU.REMAT: checkpoint each block's activations
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         # x: [B, D, H, W, C]
         shift = tuple(ws // 2 for ws in self.window_size)
+        block_cls = SwinTransformerBlock3D
+        if self.remat:
+            # same policy as ResStage/MultiScaleBlock: recompute block
+            # activations in the backward pass (deterministic is static)
+            block_cls = nn.remat(
+                SwinTransformerBlock3D, static_argnums=(2,),
+                prevent_cse=False,
+            )
         for i in range(self.depth):
             dp = (
                 self.drop_path[i]
                 if isinstance(self.drop_path, (list, tuple))
                 else self.drop_path
             )
-            x = SwinTransformerBlock3D(
+            x = block_cls(
                 dim=self.dim,
                 num_heads=self.num_heads,
                 window_size=tuple(self.window_size),
@@ -359,6 +368,7 @@ class SwinTransformer3D(nn.Module):
                 drop_path=[float(d) for d in dpr[idx : idx + depth]],
                 downsample=i < len(depths) - 1,
                 dtype=self.dtype,
+                remat=bool(cfg.TPU.REMAT),
                 name=f"layers_{i}",
             )(x, not train)
             idx += depth

@@ -313,5 +313,6 @@ class _SwinTemporal(nn.Module):
             window_size=(4, 7, 7),
             qkv_bias=False,
             dtype=self.dtype,
+            remat=bool(cfg.TPU.REMAT),
             name="layer",
         )(x, not train)

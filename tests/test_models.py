@@ -179,10 +179,10 @@ def test_remat_variant_matches():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
-@pytest.mark.parametrize("arch", ["slowfast", "x3d"])
+@pytest.mark.parametrize("arch", ["slowfast", "x3d", "swin"])
 def test_remat_grad_parity_slowfast_x3d(arch):
-    """TPU.REMAT was a silent no-op for SlowFast/X3D until round 3; now
-    that the stage wrapper honors it, remat on/off must give the same
+    """TPU.REMAT was a silent no-op for SlowFast/X3D/Swin until round 3;
+    now that the stage wrapper honors it, remat on/off must give the same
     forward and (to float tolerance) the same gradients."""
     from advise_tpu.config import assert_and_infer_cfg, get_cfg
 
@@ -203,8 +203,16 @@ def test_remat_grad_parity_slowfast_x3d(arch):
             cfg.SLOWFAST.BETA_INV = 2
             cfg.SLOWFAST.FUSION_CONV_CHANNEL_RATIO = 2
             cfg.SLOWFAST.FUSION_KERNEL_SZ = 3
-        else:
+        elif arch == "x3d":
             cfg.MODEL.MODEL_NAME = "X3D"
+        else:
+            cfg.MODEL.MODEL_NAME = "SwinTransformer3D"
+            cfg.SWIN.EMBED_DIM = 8
+            cfg.SWIN.DEPTHS = [1, 1]
+            cfg.SWIN.NUM_HEADS = [2, 4]
+            cfg.SWIN.PATCH_SIZE = [1, 2, 2]
+            cfg.SWIN.WINDOW_SIZE = [2, 4, 4]
+            cfg.SWIN.DROP_PATH_RATE = 0.0
         return build_model(assert_and_infer_cfg(cfg), sync_axes=())
 
     x = jnp.asarray(
@@ -222,9 +230,11 @@ def test_remat_grad_parity_slowfast_x3d(arch):
         )()
 
         def loss(params, m=model, bs=variables.get("batch_stats")):
+            v = {"params": params}
+            if bs is not None:
+                v["batch_stats"] = bs
             o, _ = m.apply(
-                {"params": params, "batch_stats": bs},
-                x, train=True, mutable=["batch_stats"],
+                v, x, train=True, mutable=["batch_stats"],
                 rngs={"dropout": jax.random.PRNGKey(2)},
             )
             return jnp.sum(o**2), o
