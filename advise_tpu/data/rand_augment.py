@@ -61,7 +61,8 @@ def warp_affine(clip: jnp.ndarray, inv: jnp.ndarray, fill: float = 128.0,
     fill (PIL transform(AFFINE) semantics: output(x,y) =
     input(a x + b y + c, ...)). ``method='bicubic'`` honors
     AUG.INTERPOLATION for the op-exact RandAugment path (16 taps, PIL's
-    a=-0.5 kernel).
+    Geometry.c transform kernel at a=-1.0 — NOT the a=-0.5 Catmull-Rom
+    its resize path uses; see _cubic_weights and SURVEY §8.15).
 
     TPU layout: the clip is transposed to [H*W, T*C] so each corner
     gather is one `take` of row-contiguous T*C-element slices —

@@ -176,10 +176,18 @@ def _vmap_views_apply(model, params, batch_stats, views_stacked, rng):
 
     if rng is None:
         out, mutated = jax.vmap(lambda v: one(v, None))(views_stacked)
-    elif rng.ndim >= 2:  # stacked per-view keys [n_views, key_dims...]
-        out, mutated = jax.vmap(one)(views_stacked, rng)
     else:
-        out, mutated = jax.vmap(lambda v: one(v, rng))(views_stacked)
+        # A single legacy uint32 key is [2] (ndim 1) and a typed
+        # jax.random.key is scalar (ndim 0); a STACKED [n_views] batch is
+        # one dim higher in each representation. Branch on the key dtype so
+        # typed stacked keys are not silently broadcast as one shared key
+        # (which would correlate per-view dropout masks).
+        single_ndim = 0 if jax.dtypes.issubdtype(
+            rng.dtype, jax.dtypes.prng_key) else 1
+        if rng.ndim > single_ndim:  # stacked per-view keys [n_views, ...]
+            out, mutated = jax.vmap(one)(views_stacked, rng)
+        else:
+            out, mutated = jax.vmap(lambda v: one(v, rng))(views_stacked)
     new_bs = jax.tree_util.tree_map(
         lambda x: x.mean(axis=0), mutated.get("batch_stats", batch_stats)
     ) if mutated else batch_stats
@@ -823,7 +831,10 @@ def sequential_contrastive_grads(
         ssl, keys, batch_axes(cfg),
         multi_view=cfg.CONTRASTIVE.MOCO_MULTI_VIEW_QUEUE,
     )
-    ssl = knn_update(cfg, ssl, qs[0], infos["item_id"])
+    # Reference parity: the sequential loop (contrastive.py:1120-1167) calls
+    # knn_mem_update on EVERY per-clip forward; the bank writes with
+    # momentum=1, so the LAST clip's features are what survive there.
+    ssl = knn_update(cfg, ssl, qs[-1], infos["item_id"])
     name = "loss_byol" if ctype == "byol" else "loss_nce"
     return grads, loss_partial, new_bs, ssl, {name: loss_partial}
 

@@ -185,7 +185,11 @@ def trainer(cfg, tb_logger=None) -> TrainState:
         if knn_probe_fn is not None:
             accs = []
             probe_iter = loader.epoch(epoch + 999983)  # fresh shuffle stream
-            for _, (clips, infos) in zip(
+            # Dedicated probe key stream, disjoint from the train step's
+            # fold_in(rng, epoch*100003+it) stream, folded per batch so
+            # each probe batch draws independent aug parameters.
+            probe_rng = jax.random.fold_in(rng, 2**31 - 1 - epoch)
+            for i, (clips, infos) in zip(
                 range(cfg.CONTRASTIVE.KNN_EVAL_BATCHES), probe_iter
             ):
                 clips_d, infos_d = device_put_batch(
@@ -193,7 +197,7 @@ def trainer(cfg, tb_logger=None) -> TrainState:
                 )
                 acc = knn_probe_fn(
                     state.params, state.batch_stats, state.ssl,
-                    clips_d, infos_d, jax.random.fold_in(rng, 7919 + epoch),
+                    clips_d, infos_d, jax.random.fold_in(probe_rng, i),
                 )
                 accs.append(float(acc))
             helper.rt["knn_acc"] = float(np.mean(accs))
