@@ -87,6 +87,36 @@ _C.TPU.DONATE = True
 # Use jax.checkpoint (rematerialization) on residual stages.
 _C.TPU.REMAT = False
 
+# Remat policy for the per-stage nn.remat scopes (TPU.REMAT=True):
+#   ''           - default: save nothing, the backward replays each stage.
+#   'block_outs' - jax.checkpoint_policies.save_only_these_names on the
+#                  per-residual-block outputs tagged with
+#                  jax.ad_checkpoint.checkpoint_name('block_out') in
+#                  ResStage: the backward recomputes at most one residual
+#                  block at a time instead of a whole stage (less
+#                  recompute, slightly more live memory).
+#   'dots'       - checkpoint_policies.dots_with_no_batch_dims_saveable
+#                  (saves contraction results with no batch dims; mostly
+#                  relevant for the transformer families).
+_C.TPU.REMAT_POLICY = ""
+
+# Pin stem conv outputs (and the TPU.FUSE_EMA_STEM fused conv output)
+# behind jax.lax.optimization_barrier so XLA's HLO rematerialization pass
+# cannot recompute them in the backward. Round-3 traces showed the fused
+# stem conv running TWICE (fusion.3088 + its .remat twin = 56.5 ms/step,
+# the 411 MB output recomputed under memory pressure) — this is the
+# policy-level lever aimed at exactly that clone.
+_C.TPU.STEM_BARRIER = False
+
+# Emit the device-aug output in TPU.COMPUTE_DTYPE instead of float32.
+# The cast happens INSIDE the per-clip lax.map body, so the serial map's
+# [B*K,T,S,S,C] accumulator — the largest single step resident (616 MB
+# f32 at the bs16 flagship, 2.46 GB at bs64) — materializes at half
+# width. Bit-identical to the step's previous aug->astype(compute)
+# sequence (normalize still computes in f32 per clip); standalone aug
+# users (PIL golden tests) keep f32 with the knob off.
+_C.TPU.AUG_COMPUTE_OUT = False
+
 # Run multi-view SSL forwards (BYOL/SimCLR/SwAV online nets, momentum-
 # encoder keys) as ONE vmapped batched program instead of sequential
 # per-view forwards. BN statistics stay per-view (vmap keeps the view dim

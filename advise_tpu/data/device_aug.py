@@ -267,6 +267,22 @@ def _per_clip(fn):
     return jax.vmap(fn, in_axes=(0, 0))
 
 
+def _aug_out_dtype(cfg):
+    """Emission dtype for the aug pipelines (TPU.AUG_COMPUTE_OUT).
+
+    Casting INSIDE the per-clip map body (not after the map) makes the
+    serial lax.map's dynamic-update-slice accumulator — the largest
+    single resident of the flagship step — materialize at compute width;
+    per-clip math still runs in float32, so with the knob on the result
+    is bit-identical to the previous aug->astype(compute) sequence."""
+    if (
+        getattr(cfg.TPU, "AUG_COMPUTE_OUT", False)
+        and cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+    ):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def make_simple_train_aug(cfg):
     """AUG.TYPE='simple': fixed Resize (done at ingest) -> RandomCrop ->
     RandomColorJitter -> Normalize (reference datasets/__init__.py:18-26).
@@ -275,6 +291,7 @@ def make_simple_train_aug(cfg):
     With TPU.PALLAS_AUG the chain runs as one Pallas kernel (crop-window-
     only HBM reads, single VMEM residency)."""
     size = int(cfg.AUG.TARGET_SIZE)
+    od = _aug_out_dtype(cfg)
     p, b, c, s, h = cfg.AUG.COLOR
     if cfg.AUG.REFERENCE_EXACT_HUE:
         h = 0.0  # reference hue is a no-op; identity branch is 3x faster
@@ -299,7 +316,7 @@ def make_simple_train_aug(cfg):
         clip = clip_u8.astype(jnp.float32)
         clip = random_crop_clip(clip, k_crop, size)
         clip = color_jitter_clip(clip, k_col, p, b, c, s, h)
-        return normalize(clip, mean, std)
+        return normalize(clip, mean, std).astype(od)
 
     def apply(batch_u8, key):
         bsz, k = batch_u8.shape[:2]
@@ -319,6 +336,7 @@ def make_rrc_aug(cfg, target_size: Optional[int] = None, scale=None, ratio=None,
     scale = tuple(scale if scale is not None else (cfg.AUG.MIN_AREA, 1.0))
     ratio = tuple(ratio if ratio is not None else cfg.AUG.RAND_CROP_RATIO)
     mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+    od = _aug_out_dtype(cfg)
 
     def one_clip(clip_u8, key):
         k_box, k_flip = jax.random.split(key)
@@ -328,7 +346,7 @@ def make_rrc_aug(cfg, target_size: Optional[int] = None, scale=None, ratio=None,
         clip = resized_crop_clip(clip, box, (size, size))
         if random_flip:
             clip = hflip_clip(clip, k_flip)
-        return normalize(jnp.clip(clip, 0.0, 255.0), mean, std)
+        return normalize(jnp.clip(clip, 0.0, 255.0), mean, std).astype(od)
 
     def apply(batch_u8, key):
         bsz, k = batch_u8.shape[:2]
@@ -346,11 +364,12 @@ def make_infer_aug(cfg):
     whose short side is INFER.RES, so only the crop remains."""
     size = int(cfg.INFER.RES)
     mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+    od = _aug_out_dtype(cfg)
 
     def one_clip(clip_u8, key):
         clip = clip_u8.astype(jnp.float32)
         clip = random_crop_clip(clip, key, size)
-        return normalize(clip, mean, std)
+        return normalize(clip, mean, std).astype(od)
 
     def apply(batch_u8, key):
         bsz, k = batch_u8.shape[:2]
@@ -382,6 +401,7 @@ def make_aa_aug(cfg):
     )
 
     size = int(cfg.AUG.TARGET_SIZE)
+    od = _aug_out_dtype(cfg)
     scale = (cfg.AUG.MIN_AREA, cfg.AUG.MAX_AREA)
     ratio = tuple(cfg.AUG.RAND_CROP_RATIO)
     mean, std = cfg.DATA.MEAN, cfg.DATA.STD
@@ -444,7 +464,7 @@ def make_aa_aug(cfg):
                             mode=cfg.AUG.RE_MODE, count=cfg.AUG.RE_COUNT,
                         )
                     )(clips, k_res)
-                out = normalize(clips, mean, std)
+                out = normalize(clips, mean, std).astype(od)
                 return out.reshape(bsz, k, *out.shape[1:])
 
             return apply_batched
@@ -467,7 +487,7 @@ def make_aa_aug(cfg):
                     clip, k_re, probability=re_prob, mode=cfg.AUG.RE_MODE,
                     count=cfg.AUG.RE_COUNT,
                 )
-            return normalize(clip, mean, std)
+            return normalize(clip, mean, std).astype(od)
 
         def apply_fused(batch_u8, key):
             bsz, k = batch_u8.shape[:2]
@@ -498,7 +518,7 @@ def make_aa_aug(cfg):
                 clip, k_re, probability=re_prob, mode=cfg.AUG.RE_MODE,
                 count=cfg.AUG.RE_COUNT,
             )
-        return normalize(clip, mean, std)
+        return normalize(clip, mean, std).astype(od)
 
     def apply(batch_u8, key):
         bsz, k = batch_u8.shape[:2]
@@ -524,6 +544,7 @@ def make_clip_aug(cfg):
 
     size = int(cfg.AUG.TARGET_SIZE)
     mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+    od = _aug_out_dtype(cfg)
 
     def one_clip(clip_u8, key):
         clip = clip_random_resized_crop(
@@ -539,7 +560,7 @@ def make_clip_aug(cfg):
             saturation=cfg.AUG.COLOR_SAT,
             white_balance=cfg.AUG.WHITE_BALANCE,
         )
-        return normalize(clip, mean, std)
+        return normalize(clip, mean, std).astype(od)
 
     def apply(batch_u8, key):
         bsz, k = batch_u8.shape[:2]
@@ -592,6 +613,7 @@ def make_rbyol_aug(cfg):
 
     size = int(cfg.AUG.TARGET_SIZE)
     mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+    od = _aug_out_dtype(cfg)
     p, b, c, s, h = cfg.AUG.COLOR
 
     def one_clip(clip_u8, key):
@@ -622,7 +644,7 @@ def make_rbyol_aug(cfg):
         clip = jnp.where(jax.random.uniform(k_bp, ()) < 0.5, blurred, clip)
         if cfg.AUG.RANDOM_FLIP:
             clip = hflip_clip(clip, k_flip)
-        return normalize(clip, mean, std)
+        return normalize(clip, mean, std).astype(od)
 
     def apply(batch_u8, key):
         bsz, k = batch_u8.shape[:2]
@@ -665,9 +687,12 @@ def _build_device_aug(cfg, mode: str = "train"):
             return make_rbyol_aug(cfg)
         if cfg.AUG.TYPE == "none":
             mean, std = cfg.DATA.MEAN, cfg.DATA.STD
+            od = _aug_out_dtype(cfg)
 
             def apply(batch_u8, key):
-                return normalize(batch_u8.astype(jnp.float32), mean, std)
+                return normalize(
+                    batch_u8.astype(jnp.float32), mean, std
+                ).astype(od)
 
             return apply
         raise NotImplementedError(f"AUG.TYPE={cfg.AUG.TYPE}")

@@ -338,6 +338,12 @@ def _fused_stem_conv_outs(cfg, params, ema_params, flat, dtype):
             axis=-1,
         ).astype(dtype)
         y = s2d_conv(s2d_repack_input(x_p).astype(dtype), w_cat, kt)
+        if getattr(cfg.TPU, "STEM_BARRIER", False):
+            # pin the fused conv output against XLA HLO remat — the r3
+            # trace showed this exact value recomputed in the backward
+            # (fusion.3088 + .remat twin, 56.5 ms/step), erasing the
+            # measured 43 ms fused-stem saving
+            y = jax.lax.optimization_barrier(y)
         c = k_on.shape[-1]
         outs[path] = (y[..., :c], jax.lax.stop_gradient(y[..., c:]))
     return (

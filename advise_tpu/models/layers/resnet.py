@@ -13,6 +13,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from flax import linen as nn
 
 from advise_tpu.models.layers.common import msra_init
@@ -350,6 +351,10 @@ class ResStage(nn.Module):
                     dtype=self.dtype,
                     name=f"pathway{pathway}_res{i}",
                 )(x, train)
+                # identity outside a remat scope; under TPU.REMAT with
+                # REMAT_POLICY='block_outs' the policy saves these, so the
+                # backward recomputes one block at a time, not the stage
+                x = checkpoint_name(x, "block_out")
                 if i in tuple(self.nonlocal_inds[pathway]):
                     x = Nonlocal(
                         dim_inner=self.dim_out[pathway] // 2,

@@ -40,6 +40,7 @@ from advise_tpu.models.layers.heads import TransformerBasicHead
 from advise_tpu.models.layers.stem import PatchEmbed
 from advise_tpu.models.utils import (
     get_3d_sincos_pos_embed,
+    remat_policy,
     round_width,
 )
 from advise_tpu.parallel.mesh import SEQ_AXIS
@@ -456,7 +457,8 @@ class MViT(nn.Module):
         block_cls = MultiScaleBlock
         if cfg.MODEL.ACT_CHECKPOINT or cfg.TPU.REMAT or rev:
             block_cls = nn.remat(
-                MultiScaleBlock, static_argnums=(2, 3), prevent_cse=False
+                MultiScaleBlock, static_argnums=(2, 3), prevent_cse=False,
+                policy=remat_policy(cfg),
             )
 
         intermediates = []

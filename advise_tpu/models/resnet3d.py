@@ -17,6 +17,7 @@ from flax import linen as nn
 from advise_tpu.models.layers.heads import ResNetBasicHead
 from advise_tpu.models.layers.resnet import ResStage
 from advise_tpu.models.layers.stem import ResNetBasicStem, max_pool_3d
+from advise_tpu.models.utils import remat_policy
 
 # reference video_model_builder.py:38
 # depth 10 = (1,1,1,1) is an extension for fast CPU tests (not in reference)
@@ -76,7 +77,8 @@ class ResNet3D(nn.Module):
         stage_cls = ResStage
         if cfg.TPU.REMAT or cfg.MODEL.ACT_CHECKPOINT:
             stage_cls = nn.remat(
-                ResStage, static_argnums=(2,), prevent_cse=False
+                ResStage, static_argnums=(2,), prevent_cse=False,
+                policy=remat_policy(cfg),
             )
 
         x = ResNetBasicStem(

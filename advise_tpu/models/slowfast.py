@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -23,6 +24,7 @@ from advise_tpu.models.layers.heads import ResNetBasicHead
 from advise_tpu.models.layers.resnet import ResStage
 from advise_tpu.models.layers.stem import ResNetBasicStem, max_pool_3d
 from advise_tpu.models.resnet3d import MODEL_STAGE_DEPTH
+from advise_tpu.models.utils import remat_policy
 
 # reference video_model_builder.py:89-96 'slowfast' temporal kernel basis
 SLOWFAST_TEMP_KERNELS = [
@@ -89,7 +91,8 @@ class SlowFast(nn.Module):
             # per-stage rematerialization (same policy as ResNet3D;
             # previously SlowFast silently ignored TPU.REMAT)
             stage_cls = nn.remat(
-                ResStage, static_argnums=(2,), prevent_cse=False
+                ResStage, static_argnums=(2,), prevent_cse=False,
+                policy=remat_policy(cfg),
             )
         num_groups = cfg.RESNET.NUM_GROUPS
         w = cfg.RESNET.WIDTH_PER_GROUP
@@ -112,6 +115,12 @@ class SlowFast(nn.Module):
             dtype=self.dtype, s2d=cfg.TPU.STEM_S2D,
             pad_out=int(cfg.TPU.STEM_PAD_OUT), name="s1_fast",
         )(x_f, train, conv_out=fast_conv)
+        if cfg.TPU.STEM_BARRIER:
+            # pin the stem outputs: XLA's HLO rematerialization pass may
+            # not clone across an optimization barrier, so the backward
+            # reuses these instead of recomputing the stem conv chain
+            # (the traced fusion.3088 + .remat twin, BASELINE.md)
+            x_s, x_f = jax.lax.optimization_barrier((x_s, x_f))
         x_s, x_f = FuseFastToSlow(
             fusion_conv_channel_ratio=fuse_ratio, fusion_kernel=fuse_k,
             alpha=alpha, norm=self.norm, dtype=self.dtype, name="s1_fuse",

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from advise_tpu.models.utils import remat_policy
+
 from advise_tpu.models.layers.common import DropPath, Mlp
 from advise_tpu.models.layers.attention import trunc02
 
@@ -274,6 +276,7 @@ class BasicLayer(nn.Module):
     downsample: bool = False
     dtype: Optional[jnp.dtype] = None
     remat: bool = False  # TPU.REMAT: checkpoint each block's activations
+    remat_pol: Any = None  # TPU.REMAT_POLICY (models.utils.remat_policy)
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -285,7 +288,7 @@ class BasicLayer(nn.Module):
             # activations in the backward pass (deterministic is static)
             block_cls = nn.remat(
                 SwinTransformerBlock3D, static_argnums=(2,),
-                prevent_cse=False,
+                prevent_cse=False, policy=self.remat_pol,
             )
         for i in range(self.depth):
             dp = (
@@ -369,6 +372,7 @@ class SwinTransformer3D(nn.Module):
                 downsample=i < len(depths) - 1,
                 dtype=self.dtype,
                 remat=bool(cfg.TPU.REMAT),
+                remat_pol=remat_policy(cfg),
                 name=f"layers_{i}",
             )(x, not train)
             idx += depth

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from advise_tpu.models.utils import remat_policy
+
 from advise_tpu.models.clip_vit import CLIPViT
 from advise_tpu.models.layers.heads import MLPHead, ResNetBasicHead
 from advise_tpu.models.layers.resnet import ResStage
@@ -314,5 +316,6 @@ class _SwinTemporal(nn.Module):
             qkv_bias=False,
             dtype=self.dtype,
             remat=bool(cfg.TPU.REMAT),
+            remat_pol=remat_policy(cfg),
             name="layer",
         )(x, not train)

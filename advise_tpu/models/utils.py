@@ -13,6 +13,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def remat_policy(cfg):
+    """Map ``cfg.TPU.REMAT_POLICY`` to a jax.checkpoint policy (or None =
+    save nothing, the nn.remat default). Passed to the per-stage/per-block
+    remat scopes when TPU.REMAT is on; 'block_outs' pairs with the
+    ``checkpoint_name('block_out')`` tags ResStage places on every
+    residual-block output, so the backward recomputes at most one block
+    instead of a whole stage (see config/defaults.py TPU.REMAT_POLICY)."""
+    import jax
+
+    name = getattr(cfg.TPU, "REMAT_POLICY", "") or ""
+    if not name:
+        return None
+    if name == "block_outs":
+        return jax.checkpoint_policies.save_only_these_names("block_out")
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown TPU.REMAT_POLICY={name!r}")
+
+
 def round_width(width, multiplier, min_width=1, divisor=1) -> int:
     """(reference models/utils.py:11-24)."""
     if not multiplier:

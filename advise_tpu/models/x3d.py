@@ -16,7 +16,7 @@ from flax import linen as nn
 from advise_tpu.models.layers.heads import X3DHead
 from advise_tpu.models.layers.resnet import ResStage
 from advise_tpu.models.layers.stem import X3DStem
-from advise_tpu.models.utils import round_width
+from advise_tpu.models.utils import remat_policy, round_width
 
 # X3D temporal kernel basis (reference video_model_builder.py:92-99 "x3d")
 X3D_TEMP_KERNELS = [[5], [3], [3], [3], [3]]
@@ -66,7 +66,8 @@ class X3D(nn.Module):
         stage_cls = ResStage
         if cfg.TPU.REMAT or cfg.MODEL.ACT_CHECKPOINT:
             stage_cls = nn.remat(
-                ResStage, static_argnums=(2,), prevent_cse=False
+                ResStage, static_argnums=(2,), prevent_cse=False,
+                policy=remat_policy(cfg),
             )
         for stage, (blocks, c, stride) in enumerate(block_basis):
             dim_out = round_width(c, w_mul)
