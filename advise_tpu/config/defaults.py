@@ -100,6 +100,17 @@ _C.TPU.REMAT = False
 #                  relevant for the transformer families).
 _C.TPU.REMAT_POLICY = ""
 
+# Remat scope granularity for the ResNet families (TPU.REMAT=True):
+#   'stage' - one jax.checkpoint per ResStage (default). The backward
+#             replays a whole stage, so ALL its internal activations are
+#             simultaneously live at the replay point — the bs64 OOM
+#             dump's dominant residents were exactly stage-s2's per-block
+#             conv/relu outputs (8x784M at once, BASELINE round 4).
+#   'block' - one jax.checkpoint per ResBlock: the backward replays one
+#             residual block at a time (peak ~2 block activations), at
+#             the cost of saving every block-boundary activation.
+_C.TPU.REMAT_GRANULARITY = "stage"
+
 # Pin stem conv outputs (and the TPU.FUSE_EMA_STEM fused conv output)
 # behind jax.lax.optimization_barrier so XLA's HLO rematerialization pass
 # cannot recompute them in the backward. Round-3 traces showed the fused
@@ -789,6 +800,91 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
         assert cfg.BN.NUM_SYNC_DEVICES in (None, -1), (
             "BN.GLOBAL_SYNC requires NUM_SYNC_DEVICES unset"
         )
+
+    # ---- restored-knob validations (round-4 dead-knob audit) ----
+    # reference reversible_mvit.py:57-59 / head_helper.py:491 /
+    # video_model_builder.py:840: only layernorm is implemented
+    assert cfg.MVIT.NORM == "layernorm", (
+        f"MVIT.NORM={cfg.MVIT.NORM!r}: the reference (and this rebuild) "
+        "only implements 'layernorm'"
+    )
+    if cfg.MVIT.REV.ENABLE:
+        assert cfg.MVIT.REV.RES_PATH in ("conv", "max"), (
+            f"MVIT.REV.RES_PATH={cfg.MVIT.REV.RES_PATH!r} (reference "
+            "reversible_mvit.py:343-355: conv|max)"
+        )
+        assert "concat" not in cfg.MVIT.REV.PRE_Q_FUSION, (
+            "MVIT.REV.PRE_Q_FUSION 'concat*' modes double the stage-"
+            "transition input dim (reference reversible_mvit.py:89-97 "
+            "input_mult machinery) — not supported here; use one of the "
+            "elementwise TwoStreamFusion modes (add/max/min/avg)"
+        )
+    if cfg.MODEL.MODEL_NAME == "MaskMViT":
+        if cfg.MASK.MAE_ON:
+            # the MAE visible-token gather needs a static keep count;
+            # blockwise loader masks (MAE_RND_MASK=False) are not
+            # exact-count and would make the program shape-dynamic
+            assert cfg.MASK.MAE_RND_MASK, (
+                "MASK.MAE_ON requires MASK.MAE_RND_MASK=True (random "
+                "masking); blockwise loader masks have data-dependent "
+                "keep counts, unjittable for the MAE gather"
+            )
+        if cfg.VIS_MASK.ENABLE:
+            # the reference's visualization lives in the MAE forward
+            # (masked.py:464-525); the JOINT head repurposes the extra
+            # output slot
+            assert cfg.MASK.MAE_ON and not cfg.MASK.JOINT_CONTRASTIVE, (
+                "VIS_MASK.ENABLE needs MASK.MAE_ON (reference "
+                "masked.py:464) and is exclusive with JOINT_CONTRASTIVE"
+            )
+        # reference video_model_builder.py:803: MViT assumes equal
+        # train/test crops
+        assert cfg.DATA.TRAIN_CROP_SIZE == cfg.DATA.TEST_CROP_SIZE, (
+            "MViT requires DATA.TRAIN_CROP_SIZE == DATA.TEST_CROP_SIZE "
+            "(reference video_model_builder.py:803)"
+        )
+        # the device aug emits AUG.TARGET_SIZE crops while the MViT token
+        # geometry derives from DATA.TRAIN_CROP_SIZE — a mismatch is a
+        # silent shape bug (caught in the r4 MViT-L AOT certification)
+        assert cfg.DATA.TRAIN_CROP_SIZE == cfg.AUG.TARGET_SIZE, (
+            f"DATA.TRAIN_CROP_SIZE={cfg.DATA.TRAIN_CROP_SIZE} != "
+            f"AUG.TARGET_SIZE={cfg.AUG.TARGET_SIZE}: the masked-MViT "
+            "token grid reads TRAIN_CROP_SIZE but clips arrive at "
+            "TARGET_SIZE"
+        )
+    # reference video_model_builder.py:228,480,720 feeds
+    # DATA.INPUT_CHANNEL_NUM as the stems' dim_in; the channel-last
+    # ingest here is RGB (cv2 decode) so anything but 3 is a config error
+    assert all(c == 3 for c in cfg.DATA.INPUT_CHANNEL_NUM), (
+        f"DATA.INPUT_CHANNEL_NUM={cfg.DATA.INPUT_CHANNEL_NUM}: the "
+        "decode/ingest pipeline is RGB (C=3)"
+    )
+    if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
+        # reference contrastive.py:56-58 builds num_crops (the SimCLR
+        # multi-crop positive-mask count, :806-845) from these keys;
+        # only the 2-view NT-Xent is implemented here. Other algorithms
+        # never consume num_crops, so the keys are unconstrained there.
+        if cfg.CONTRASTIVE.TYPE == "simclr":
+            ncrops = (
+                cfg.DATA.TRAIN_CROP_NUM_TEMPORAL
+                * cfg.DATA.TRAIN_CROP_NUM_SPATIAL
+            )
+            assert ncrops == 2 == cfg.DATA.NUM_CLIP, (
+                f"simclr: DATA.TRAIN_CROP_NUM_TEMPORAL*SPATIAL={ncrops} "
+                f"with NUM_CLIP={cfg.DATA.NUM_CLIP}; only the 2-view "
+                "NT-Xent (num_crops=2) is implemented (reference "
+                "multi-crop masks: contrastive.py:806-845)"
+            )
+        # reference contrastive.py:1099-1105: the MoCo queue length must
+        # divide evenly into global key batches (TRAIN.BATCH_SIZE is the
+        # per-shard batch there; global = BATCH_SIZE * NUM_SHARDS)
+        if cfg.CONTRASTIVE.TYPE == "moco" and cfg.TRAIN.BATCH_SIZE > 0:
+            gb = cfg.TRAIN.BATCH_SIZE * max(cfg.NUM_SHARDS, 1)
+            assert cfg.CONTRASTIVE.QUEUE_LEN % gb == 0, (
+                f"CONTRASTIVE.QUEUE_LEN={cfg.CONTRASTIVE.QUEUE_LEN} must "
+                f"be a multiple of the global batch {gb} (reference "
+                "contrastive.py:1099-1105)"
+            )
     return cfg
 
 

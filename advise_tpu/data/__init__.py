@@ -40,6 +40,7 @@ def build_sampler(cfg, mode: str = "train"):
                 stride=cfg.DATA.STRIDE,
                 speed_range=cfg.SSL.RANGE,
                 jitter=cfg.SSL.JITTER,
+                method=cfg.SSL.METHOD,
             )
         if cfg.TASK == "tmodeling":
             return spl.TemporalModelingSampler(
@@ -48,6 +49,7 @@ def build_sampler(cfg, mode: str = "train"):
                 stride=cfg.DATA.STRIDE,
                 speed_range=cfg.SSL.RANGE,
                 jitter=cfg.SSL.JITTER,
+                method=cfg.SSL.METHOD,
             )
         if cfg.TASK in ("action_recog", "contrastive", "masked"):
             return spl.UniformClipSampler(
@@ -91,6 +93,24 @@ def build_dataset(cfg, mode: str = "train") -> ClipDataset:
         from advise_tpu.data.host_aug import build_host_aug
 
         host_aug = build_host_aug(cfg, mode)
+    mask_gen = None
+    if mode == "train" and cfg.TASK == "masked" and not cfg.MASK.MAE_RND_MASK:
+        # MASK.MAE_RND_MASK=False (reference masked.py:350,552): masks
+        # come from the loader's blockwise generator at the token grid
+        from advise_tpu.data.masking import MaskingGenerator3D
+
+        pt, ph, pw = cfg.MVIT.PATCH_STRIDE
+        grid = (
+            max(cfg.DATA.NUM_FRAMES // pt, 1),
+            cfg.AUG.TARGET_SIZE // ph,
+            cfg.AUG.TARGET_SIZE // pw,
+        )
+        total = grid[0] * grid[1] * grid[2]
+        mask_gen = MaskingGenerator3D(
+            grid,
+            int(round(cfg.AUG.MASK_RATIO * total)),
+            max_num_patches=(cfg.AUG.MAX_MASK_PATCHES_PER_BLOCK or None),
+        )
     return ClipDataset(
         name=cfg.DATA.DATASET,
         data_dir=data_dir,
@@ -106,6 +126,7 @@ def build_dataset(cfg, mode: str = "train") -> ClipDataset:
         synthetic_num_classes=cfg.DATA.SYNTHETIC_NUM_CLASSES,
         synthetic_motion=cfg.DATA.SYNTHETIC_MOTION,
         synthetic_class_coded=cfg.DATA.SYNTHETIC_CLASS_CODED,
+        mask_gen=mask_gen,
     )
 
 

@@ -87,11 +87,16 @@ class ClipDataset:
         synthetic_motion: float = 1.0,
         synthetic_class_coded: bool = False,
         retries: int = 10,
+        mask_gen=None,
     ):
         self.name = name
         self.data_dir = data_dir
         self.sampler = sampler
         self.host_aug = host_aug
+        # per-clip token-mask generator (MASK.MAE_RND_MASK=False: the
+        # reference's loader-side blockwise masking, datasets/transform.py
+        # MaskingGenerator3D; consumed by MaskMViT's maskfeat forward)
+        self.mask_gen = mask_gen
         self.ingest_wh = tuple(ingest_wh)
         self.backend = backend
         self.retries = retries
@@ -153,6 +158,10 @@ class ClipDataset:
         if stamps is None:
             return None
         k, t = stamps.shape
+        if self.mask_gen is not None:
+            infos["mask"] = np.stack(
+                [self.mask_gen(rng) for _ in range(k)]
+            ).astype(np.uint8)
         # normalized time of the first clip's start in [0,1] — the 2D
         # memory bank's time slot (reference video forward's `time` input)
         infos.setdefault(

@@ -127,8 +127,13 @@ class SpeedClipSampler:
     stride: int
     speed_range: Sequence[int]
     jitter: float
+    # SSL.METHOD (reference SpeedStampsGenerator.__call__ :162-168: only
+    # 'random' is implemented; anything else raises)
+    method: str = "random"
 
     def __call__(self, rng: np.random.Generator, video_length: int, infos: dict):
+        if self.method != "random":
+            raise NotImplementedError(f"SSL.METHOD={self.method!r}")
         labels = rng.integers(0, len(self.speed_range), size=self.num_clips)
         stamps = np.stack(
             [
@@ -158,12 +163,17 @@ class TemporalModelingSampler:
     stride: int
     speed_range: Sequence[int]
     jitter: float
+    # SSL.METHOD (reference IntervalsStampsGenerator: 'random' start
+    # sampling is the only implemented branch)
+    method: str = "random"
 
     @property
     def clip_len(self) -> int:
         return self.num_frames * self.stride
 
     def __call__(self, rng: np.random.Generator, video_length: int, infos: dict):
+        if self.method != "random":
+            raise NotImplementedError(f"SSL.METHOD={self.method!r}")
         if video_length < self.clip_len:
             return None, None
         starts, all_stamps, speeds = [], [], []

@@ -232,10 +232,19 @@ def compute_keys(cfg, model, ssl, views, rng):
         ]
         return keys, jax.lax.stop_gradient(ema_bs)
     keys = []
+    # CONTRASTIVE.LOCAL_SHUFFLE_BN (reference :187,219): True shuffles
+    # within the local replica group (du.get_local_size = the BN 'sync'
+    # subgroup here); False shuffles across ALL devices (global gather +
+    # rank-0-broadcast permutation = same-rng permutation in SPMD)
+    shuf_axes = (
+        SYNC_AXIS if cfg.CONTRASTIVE.LOCAL_SHUFFLE_BN else batch_axes(cfg)
+    )
     for i, v in enumerate(views):
         v = jax.lax.stop_gradient(v)
         if shuffle_on:
-            v, perm = batch_shuffle(v, jax.random.fold_in(rng, i), SYNC_AXIS)
+            v, perm = batch_shuffle(
+                v, jax.random.fold_in(rng, i), shuf_axes
+            )
         out, ema_bs = _apply_backbone(
             model, ssl["ema_params"], ema_bs, v, train=True,
             rng=jax.random.fold_in(rng, 100 + i),
@@ -243,7 +252,7 @@ def compute_keys(cfg, model, ssl, views, rng):
         proj, _ = _proj_and_preds(out)
         key = l2_normalize(proj)
         if shuffle_on:
-            key = batch_unshuffle(key, perm, SYNC_AXIS)
+            key = batch_unshuffle(key, perm, shuf_axes)
         keys.append(jax.lax.stop_gradient(key))
     return keys, jax.lax.stop_gradient(ema_bs)
 

@@ -52,14 +52,46 @@ def speed_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=Tr
     x = clips.reshape(b * k, *clips.shape[2:])
     labels = infos["spd_label"].reshape(b * k)
     logits, new_bs = _apply_model(model, params, batch_stats, x, rng, train)
-    metric = cfg.SSL.METRIC[0]
-    if metric in ("bce_logit", "smoothing_bce_logit"):
-        onehot = jax.nn.one_hot(labels, logits.shape[-1])
-        loss = L.bce_logit(logits, onehot, smoothing=cfg.SSL.SMOOTHING)
-    else:
-        loss = L.cross_entropy(logits, labels)
-    acc = L.top_k_accuracy(logits, labels, k=1)
-    stats = {"loss_spd": loss, "acc_spd": acc}
+    # one metric per (SSL.STAT, SSL.METRIC) pair, keyed by the STAT name
+    # (reference metrics_init, tools/train.py:94-116); the backward loss
+    # is metrics['loss_spd'] BY NAME, exactly like the reference's
+    # output_handler lookup (:147-156)
+    stats = {}
+    for stat, met in zip(cfg.SSL.STAT, cfg.SSL.METRIC):
+        if met == "ce":
+            if cfg.SSL.SMOOTHING > 0:
+                c = logits.shape[-1]
+                soft = (
+                    jax.nn.one_hot(labels, c) * (1.0 - cfg.SSL.SMOOTHING)
+                    + cfg.SSL.SMOOTHING / c
+                )
+                stats[stat] = L.soft_cross_entropy(logits, soft)
+            else:
+                stats[stat] = L.cross_entropy(logits, labels)
+        elif met in ("bce_logit", "smoothing_bce_logit"):
+            onehot = jax.nn.one_hot(labels, logits.shape[-1])
+            stats[stat] = L.bce_logit(
+                logits, onehot,
+                smoothing=(
+                    cfg.SSL.SMOOTHING if met == "smoothing_bce_logit" else 0.0
+                ),
+            )
+        elif met == "margin":
+            # reference :104-105 hardcodes mode='intra' and SSL.MARGIN
+            stats[stat] = L.margin_ranking_intra(
+                logits.reshape(b, k, -1),
+                infos["spd_label"].reshape(b, k),
+                margin=cfg.SSL.MARGIN,
+            )
+        elif met == "acc@1":
+            stats[stat] = L.top_k_accuracy(logits, labels, k=1)
+        elif met == "acc@5":
+            stats[stat] = L.top_k_accuracy(logits, labels, k=5)
+        else:
+            # 'mse'/'contrastive_loss' are constructible in the reference
+            # metrics_init but shape-error in its speed output_handler
+            raise NotImplementedError(f"SSL.METRIC={met!r} for TASK=speed")
+    loss = stats["loss_spd"]
     return loss, (new_bs, stats)
 
 
@@ -91,17 +123,30 @@ def masked_task_loss(cfg, model, params, batch_stats, clips, infos, rng, train=T
     x = clips.reshape(b * k, *clips.shape[2:])
     variables = {"params": params, "batch_stats": batch_stats}
     rngs = {"dropout": rng, "mask": jax.random.fold_in(rng, 13)}
+    # MASK.MAE_RND_MASK=False: loader-generated blockwise token masks
+    # ride in infos['mask'] [B, K, t, h, w] (reference masked.py:550-560
+    # "take masks and labels from loader")
+    lm = infos.get("mask")
+    if lm is not None:
+        lm = lm.reshape(b * k, -1)
+    extra = {"loader_mask": lm} if lm is not None else {}
     if train:
         out, mutated = model.apply(
-            variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+            variables, x, train=True, mutable=["batch_stats"], rngs=rngs,
+            **extra,
         )
         new_bs = mutated.get("batch_stats", batch_stats)
     else:
-        out = model.apply(variables, x, train=False, rngs=rngs)
+        out = model.apply(variables, x, train=False, rngs=rngs, **extra)
         new_bs = batch_stats
     joint = cfg.MASK.JOINT_CONTRASTIVE
     if joint:
         preds, labels, masks, weights, proj = out
+    elif cfg.VIS_MASK.ENABLE:
+        # the model also returns the (input, masked, recon) videos for
+        # the offline VIS_MASK dump; the train step drops them (dead
+        # outputs cost nothing under XLA DCE)
+        preds, labels, masks, weights, _vis = out
     else:
         preds, labels, masks, weights = out
     loss = 0.0

@@ -9,6 +9,7 @@ aug/forward/backward/optimizer/collectives all live inside the step.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, Optional
 
 import jax
@@ -35,6 +36,7 @@ TASK_INFO_FIELDS = {
     "action_recog": ("cls_id",),
     "tmodeling": ("spd_label", "speeds"),
     "contrastive": ("item_id",),
+    "masked": ("mask",),
 }
 
 
@@ -109,6 +111,25 @@ def trainer(cfg, tb_logger=None) -> TrainState:
     elif cfg.MODEL.MODEL_NAME == "TemporalModel":
         from advise_tpu.engine.steps import init_tmodeling_ssl
 
+        if cfg.MODEL.SPATIAL_MODEL_PATH:
+            # reference temporal_modeling.py:16-43 load_spatial_model:
+            # the frozen CLIP tower's weights come from
+            # MODEL.SPATIAL_MODEL_PATH/open_clip_pytorch_model.bin
+            from advise_tpu.models.clip_vit import load_openclip_weights
+
+            wp = cfg.MODEL.SPATIAL_MODEL_PATH
+            if os.path.isdir(wp):
+                wp = os.path.join(wp, "open_clip_pytorch_model.bin")
+            if not os.path.exists(wp):
+                raise FileNotFoundError(
+                    f"MODEL.SPATIAL_MODEL_PATH: no checkpoint at {wp}"
+                )
+            params = dict(state.params)
+            params["spatial_encoder"] = load_openclip_weights(
+                wp, dict(params["spatial_encoder"])
+            )
+            state = state.replace(params=params)
+            logger.info("loaded open_clip visual tower from %s", wp)
         state = state.replace(ssl=init_tmodeling_ssl(cfg, state.params))
     logger.info("model %s params: %s", cfg.MODEL.MODEL_NAME, f"{param_count(state.params):,}")
 
@@ -160,7 +181,21 @@ def trainer(cfg, tb_logger=None) -> TrainState:
     for epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         epoch_iters = loader.steps_per_epoch(epoch)
         helper.epoch_start(epoch, epoch_iters)
-        for it, (clips, infos) in enumerate(loader.epoch(epoch)):
+        # TPU.PREFETCH: keep N async H2D transfers in flight so the next
+        # batch's DMA overlaps the current step (prefetch_to_device);
+        # <=1 falls back to a synchronous per-iteration device_put
+        n_prefetch = int(getattr(cfg.TPU, "PREFETCH", 2) or 0)
+        batches = (
+            (clips, select_infos(cfg, infos))
+            for clips, infos in loader.epoch(epoch)
+        )
+        if n_prefetch > 1:
+            from advise_tpu.data.prefetch import prefetch_to_device
+
+            device_iter = prefetch_to_device(batches, mesh, size=n_prefetch)
+        else:
+            device_iter = (device_put_batch(mesh, c, i) for c, i in batches)
+        for it, (clips_d, infos_d) in enumerate(device_iter):
             helper.iter_start()
             epoch_exact = epoch + (it + 1) / max(epoch_iters, 1)
             if plateau is not None and epoch_exact > cfg.SOLVER.WARMUP_EPOCHS:
@@ -168,7 +203,6 @@ def trainer(cfg, tb_logger=None) -> TrainState:
             else:
                 lr = get_lr_at_epoch(cfg, epoch_exact)
             helper.rt["curr_lr"] = lr
-            clips_d, infos_d = device_put_batch(mesh, clips, select_infos(cfg, infos))
             step_rng = jax.random.fold_in(rng, epoch * 100003 + it)
             if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
                 state, stats = step_fn(
@@ -204,6 +238,20 @@ def trainer(cfg, tb_logger=None) -> TrainState:
             logger.info(
                 "epoch %d online kNN top-1: %.4f (%d batches)",
                 epoch, helper.rt["knn_acc"], len(accs),
+            )
+        if cfg.VIS_MASK.ENABLE and cfg.MODEL.MODEL_NAME == "MaskMViT":
+            # reference masked.py:464-540: dump (input|masked|recon)
+            # comparison videos; done here on ONE batch so the hot step
+            # never carries the videos
+            from advise_tpu.utils.visualization import (
+                dump_mask_visualization,
+            )
+
+            vis_clips, _ = next(iter(loader.epoch(epoch + 424243)))
+            dump_mask_visualization(
+                cfg, model_init, state.params, state.batch_stats,
+                jnp.asarray(vis_clips), device_aug,
+                jax.random.fold_in(rng, 424243 + epoch), epoch,
             )
         summary = helper.epoch_end()
         if knn_probe_fn is not None:

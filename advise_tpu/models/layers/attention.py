@@ -146,7 +146,13 @@ class MultiScaleAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, thw, deterministic: bool = True):
+    def __call__(self, x: jnp.ndarray, thw, deterministic: bool = True,
+                 x_res: Optional[jnp.ndarray] = None):
+        """``x_res``: optional residual stream to pool through the SAME
+        pool_q conv + norm as q (MVIT.REV.RES_PATH='conv', reference
+        reversible_mvit.py:385-410 pools the StageTransition residual
+        with ``self.F.attn.pool_q``/``norm_q`` — shared weights). When
+        given, returns ``(out, q_shape, res_pooled)``."""
         b, n, _ = x.shape
         nh = self.num_heads
         head_dim = self.dim_out // nh
@@ -208,6 +214,17 @@ class MultiScaleAttention(nn.Module):
         conv_k, norm_k = make_pool("k", kernel_kv, dim_conv)
         conv_v, norm_v = make_pool("v", kernel_kv, dim_conv)
 
+        res_pooled = None
+        if x_res is not None:
+            rc = x_res.shape[-1]
+            fold = 1 if self.mode == "conv_unshared" else nh
+            r = x_res.reshape(b, n, fold, rc // fold).transpose(0, 2, 1, 3)
+            r, _ = _pool_tokens(
+                r, thw, kernel_q, stride_q, self.mode,
+                self.has_cls_embed, conv_q, norm_q,
+            )
+            res_pooled = r.transpose(0, 2, 1, 3).reshape(b, -1, rc)
+
         q, q_shape = _pool_tokens(
             q, thw, kernel_q, stride_q, self.mode, self.has_cls_embed,
             conv_q, norm_q,
@@ -250,16 +267,35 @@ class MultiScaleAttention(nn.Module):
                 # out-of-mesh init twin): dense fallback
                 nseq = 0
             nq, nk = q.shape[2], k.shape[2]
-            if nseq > 1 and nq % nseq == 0 and nk % nseq == 0:
-                # each 'seq' device takes its token slice, runs ring
-                # attention ([N/nseq, N/nseq] score blocks rotating K/V
-                # over ICI), then the output gathers back so the rest of
-                # the (batch-replicated-over-seq) program stays unchanged
+            if nseq > 1 and nq % nseq == 0:
                 my = lax.axis_index(self.seq_axis)
-                q_l = lax.dynamic_slice_in_dim(q, my * (nq // nseq), nq // nseq, 2)
-                k_l = lax.dynamic_slice_in_dim(k, my * (nk // nseq), nk // nseq, 2)
-                v_l = lax.dynamic_slice_in_dim(v, my * (nk // nseq), nk // nseq, 2)
-                out_l = ring_attention(q_l, k_l, v_l, self.seq_axis, scale)
+                q_l = lax.dynamic_slice_in_dim(
+                    q, my * (nq // nseq), nq // nseq, 2
+                )
+                if nk == nq and nk % nseq == 0:
+                    # square self-attention: full ring — [N/nseq, N/nseq]
+                    # score blocks rotating K/V over ICI
+                    k_l = lax.dynamic_slice_in_dim(
+                        k, my * (nk // nseq), nk // nseq, 2
+                    )
+                    v_l = lax.dynamic_slice_in_dim(
+                        v, my * (nk // nseq), nk // nseq, 2
+                    )
+                    out_l = ring_attention(
+                        q_l, k_l, v_l, self.seq_axis, scale
+                    )
+                else:
+                    # pooled-KV attention (MViT's POOL_KV_STRIDE shrinks
+                    # K/V far below Q — e.g. 97,344 q vs 1,521 kv tokens
+                    # at the 32x312 preset): keep the small K/V whole on
+                    # every chip and shard only the Q tokens. The per-
+                    # chip score matrix drops from [nq, nk] to
+                    # [nq/nseq, nk] — the dominant per-chip temp of the
+                    # pod-scale AOT certification — with zero ppermutes.
+                    out_l = self._dense_attention(
+                        q_l, k, v, scale, stride_q, stride_kv,
+                        q_shape, k_shape,
+                    )
                 out = lax.all_gather(out_l, self.seq_axis, axis=2, tiled=True)
             else:
                 use_ring = False
@@ -286,6 +322,8 @@ class MultiScaleAttention(nn.Module):
             out = dense(self.dim_out, name="proj")(out)
         if self.drop_rate > 0.0:
             out = nn.Dropout(self.drop_rate)(out, deterministic=deterministic)
+        if x_res is not None:
+            return out, q_shape, res_pooled
         return out, q_shape
 
     def _dense_attention(self, q, k, v, scale, stride_q, stride_kv,

@@ -71,25 +71,37 @@ class SyncBatchNorm(nn.Module):
             """Normalize + affine as ONE per-channel FMA: y = x*w + b with
             w = scale*rsqrt(var+eps), b = bias - mean*w — half the
             per-element VPU ops of the naive ((x-mean)*inv)*scale+bias
-            chain; the [C]-sized weight precompute is free. Same f32
-            math, LSB-level association difference only."""
+            chain; the [C]-sized weight precompute is free.
+
+            The FMA runs in the INPUT dtype: only the [C]-sized w/b round
+            to x.dtype, the statistics math above stays float32. The
+            previous full-activation f32 upcast was the dominant HBM
+            resident of the bs64 flagship step (4x 1.53G
+            `branch1_bn/convert_element_type` temps in the OOM dump,
+            BASELINE round 4) — for float32 inputs this is bit-identical
+            to the old path."""
             w = lax.rsqrt(var + self.epsilon)
             if scale is not None:
                 w = w * scale
             b_eff = -mean * w
             if bias is not None:
                 b_eff = b_eff + bias
-            return xv * w + b_eff
+            return xv * w.astype(xv.dtype) + b_eff.astype(xv.dtype)
 
-        xf = x.astype(jnp.float32)
+        def f32_stats(xv, red):
+            """mean / mean-of-squares reduced in float32. The converts
+            feed only reductions, so XLA fuses them — no full-size f32
+            tensor materializes."""
+            xf = xv.astype(jnp.float32)
+            return jnp.mean(xf, axis=red), jnp.mean(lax.square(xf), axis=red)
+
         if train:
             if self.num_splits > 1:
-                b = xf.shape[0]
+                b = x.shape[0]
                 assert b % self.num_splits == 0, (b, self.num_splits)
-                xs = xf.reshape(self.num_splits, b // self.num_splits, *xf.shape[1:])
+                xs = x.reshape(self.num_splits, b // self.num_splits, *x.shape[1:])
                 red = tuple(range(1, xs.ndim - 1))
-                mean_s = jnp.mean(xs, axis=red)  # [splits, C]
-                meansq_s = jnp.mean(jnp.square(xs), axis=red)
+                mean_s, meansq_s = f32_stats(xs, red)  # [splits, C]
                 if self.sync_axes:
                     mean_s = lax.pmean(mean_s, self.sync_axes)
                     meansq_s = lax.pmean(meansq_s, self.sync_axes)
@@ -98,21 +110,20 @@ class SyncBatchNorm(nn.Module):
                 flat = xs.reshape(self.num_splits, -1, features)
                 y = affine_fold(
                     flat, mean_s[:, None], var_s[:, None]
-                ).reshape(xf.shape)
+                ).reshape(x.shape)
                 mean, var = jnp.mean(mean_s, 0), jnp.mean(var_s, 0)
                 n = xs[0].size / features * (
                     _axes_size(self.sync_axes) if self.sync_axes else 1
                 )
             else:
-                red = tuple(range(xf.ndim - 1))
-                mean = jnp.mean(xf, axis=red)
-                meansq = jnp.mean(jnp.square(xf), axis=red)
+                red = tuple(range(x.ndim - 1))
+                mean, meansq = f32_stats(x, red)
                 if self.sync_axes:
                     mean = lax.pmean(mean, self.sync_axes)
                     meansq = lax.pmean(meansq, self.sync_axes)
                 var = meansq - jnp.square(mean)
-                y = affine_fold(xf, mean, var)
-                n = xf.size / features * (
+                y = affine_fold(x, mean, var)
+                n = x.size / features * (
                     _axes_size(self.sync_axes) if self.sync_axes else 1
                 )
             if not self.is_initializing():
@@ -122,7 +133,7 @@ class SyncBatchNorm(nn.Module):
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
-            y = affine_fold(xf, ra_mean.value, ra_var.value)
+            y = affine_fold(x, ra_mean.value, ra_var.value)
         return y.astype(self.dtype or x.dtype)
 
 

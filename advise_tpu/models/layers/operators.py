@@ -73,9 +73,13 @@ def hog_features(
 
     if gaussian_window:
         # reference applies a 2D gaussian weight tiled over the image
+        # (HOGLayerC; assumes h % window == 0 — at non-multiple sizes
+        # like 312 the tile is ceil'd and cropped, the periodic
+        # extension of the same weighting)
         gk = _gaussian_kernel2d(gaussian_window, gaussian_window // 2)
-        reps_h, reps_w = h // gaussian_window, w // gaussian_window
-        gw = jnp.tile(gk, (reps_h, reps_w))
+        reps_h = -(-h // gaussian_window)
+        reps_w = -(-w // gaussian_window)
+        gw = jnp.tile(gk, (reps_h, reps_w))[:h, :w]
         mag = mag * gw[None, :, :, None]
 
     # soft assignment to integer bins by flooring (reference scatter_add on

@@ -314,6 +314,9 @@ class ResStage(nn.Module):
     # convs marked `final_conv` — BasicTransform.b / Bottleneck.c — are
     # zero-filled instead of MSRA when the flag is on)
     zero_init_final_conv: bool = False
+    # TPU.REMAT_GRANULARITY='block': checkpoint each ResBlock so the
+    # backward replays one block at a time (see config/defaults.py)
+    remat_blocks: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def _temp_kernels(self, pathway: int):
@@ -327,12 +330,17 @@ class ResStage(nn.Module):
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray], train: bool):
+        block_cls = ResBlock
+        if self.remat_blocks:
+            block_cls = nn.remat(
+                ResBlock, static_argnums=(2,), prevent_cse=False
+            )
         outputs = []
         for pathway in range(len(self.num_blocks)):
             x = inputs[pathway]
             tks = self._temp_kernels(pathway)
             for i in range(self.num_blocks[pathway]):
-                x = ResBlock(
+                x = block_cls(
                     dim_in=self.dim_in[pathway] if i == 0 else self.dim_out[pathway],
                     dim_out=self.dim_out[pathway],
                     dim_inner=self.dim_inner[pathway],

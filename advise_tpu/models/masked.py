@@ -103,6 +103,17 @@ def normalize_patches(x: jnp.ndarray) -> jnp.ndarray:
     return (x - mean) / jnp.sqrt(var + 1e-6)
 
 
+def unpatchify_3d(patches: jnp.ndarray, thw, p: int, u: int) -> jnp.ndarray:
+    """Inverse of :func:`patchify_3d`: [B, t*h*w, u*p*p*3] ->
+    [B, t*u, h*p, w*p, 3] (the reference's _unpatchify, masked.py:199-214,
+    used by its VIS_MASK visualization path :464-525)."""
+    b = patches.shape[0]
+    t, h, w = thw
+    x = patches.reshape(b, t, h, w, u, p, p, 3)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # b t u h p w p c
+    return x.reshape(b, t * u, h * p, w * p, 3)
+
+
 def hog_label_3d(frames: jnp.ndarray, feat_hw: int, nbins: int, cell_sz: int):
     """HOG targets per token (reference _get_hog_label_3d :267-294).
 
@@ -173,7 +184,13 @@ class MaskMViT(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True):
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 loader_mask=None):
+        """``loader_mask`` [B, L] (1 = masked): loader-side blockwise
+        token mask, consumed when ``MASK.MAE_RND_MASK`` is False
+        (reference masked.py:550-560 "take masks and labels from
+        loader"); with the flag True a uniform random mask is drawn
+        in-model regardless (reference :552-556)."""
         cfg = self.cfg
         mae = cfg.MASK.MAE_ON
         pretrain_depth = list(cfg.MASK.PRETRAIN_DEPTH)
@@ -182,11 +199,15 @@ class MaskMViT(nn.Module):
         mask_rng = self.make_rng("mask")
 
         if mae:
+            # the MAE visible-token gather needs a STATIC keep count;
+            # blockwise loader masks are not exact-count, so only the
+            # random path is jittable (assert_and_infer_cfg rejects
+            # MAE_ON with MAE_RND_MASK=False)
             return self._mae_forward(x, train, mask_rng)
-        return self._maskfeat_forward(x, train, mask_rng)
+        return self._maskfeat_forward(x, train, mask_rng, loader_mask)
 
     # -- MaskFeat -----------------------------------------------------------
-    def _maskfeat_forward(self, imgs, train, rng):
+    def _maskfeat_forward(self, imgs, train, rng, loader_mask=None):
         cfg = self.cfg
         pretrain_depth = list(cfg.MASK.PRETRAIN_DEPTH)
         embed_dim = cfg.MVIT.EMBED_DIM
@@ -196,10 +217,31 @@ class MaskMViT(nn.Module):
         pt, ph, pw = cfg.MVIT.PATCH_STRIDE
         t = cfg.DATA.NUM_FRAMES // pt
         h = w = cfg.DATA.TRAIN_CROP_SIZE // ph
-        _, mask, _ = random_masking(
-            rng, imgs.shape[0], (t, h, w), cfg.AUG.MASK_RATIO,
-            tube=cfg.AUG.MASK_TUBE,
-        )
+        if not cfg.MASK.MAE_RND_MASK:
+            # reference masked.py:558-560: masks come from the loader's
+            # blockwise generator (MaskingGenerator3D cube masking — the
+            # MaskFeat recipe's distribution, not uniform-random)
+            if loader_mask is None and self.is_initializing():
+                # init only shapes params; any mask works
+                _, loader_mask, _ = random_masking(
+                    rng, imgs.shape[0], (t, h, w), cfg.AUG.MASK_RATIO,
+                    tube=cfg.AUG.MASK_TUBE,
+                )
+            if loader_mask is None:
+                raise ValueError(
+                    "MASK.MAE_RND_MASK=False needs loader-side masks "
+                    "(infos['mask']); run through the data pipeline or "
+                    "set MASK.MAE_RND_MASK=True for in-model random "
+                    "masking"
+                )
+            mask = loader_mask.reshape(imgs.shape[0], t * h * w).astype(
+                jnp.float32
+            )
+        else:
+            _, mask, _ = random_masking(
+                rng, imgs.shape[0], (t, h, w), cfg.AUG.MASK_RATIO,
+                tube=cfg.AUG.MASK_TUBE,
+            )
 
         encoder = MViT(
             cfg=self.cfg,
@@ -222,25 +264,48 @@ class MaskMViT(nn.Module):
                 feat = feat[:, 1:]
             feat_hw = thw[1]
             t_out = thw[0]
-            # spatial stride of this depth's tokens over the input image
-            stride_hw = cfg.DATA.TRAIN_CROP_SIZE // feat_hw
+            # TRUE spatial stride of this depth's tokens: the product of
+            # the patch stride and every Q-pool stride at blocks <= depth.
+            # Dividing the crop size by the token count (the reference's
+            # formulation) is only equal when tokens tile the image; with
+            # conv-padded pooling at non-power-of-two crops (312 -> grid
+            # 78 -> 39 -> 20 -> 10) the outer tokens see padding, so the
+            # label frames are edge-padded to tokens*stride below (the
+            # r4 MViT-L 32x312 AOT certification's geometry fix).
+            stride_hw = cfg.MVIT.PATCH_STRIDE[1]
+            for x in cfg.MVIT.POOL_Q_STRIDE:
+                if x[0] <= depth:
+                    stride_hw *= x[2]
+            need = feat_hw * stride_hw
+            size = cfg.DATA.TRAIN_CROP_SIZE
+
+            def _pad_frames(fr, need=need, size=size):
+                if need == size:
+                    return fr
+                lo = (need - size) // 2
+                hi = need - size - lo
+                return jnp.pad(
+                    fr, ((0, 0), (0, 0), (lo, hi), (lo, hi), (0, 0)),
+                    mode="edge",
+                )
+
             if cfg.MASK.PRED_HOG:
                 nbins = cfg.MASK.PRED_HOG_NBINS
                 cell = cfg.MASK.PRED_HOG_CELL_SZ
-                assert stride_hw >= cell, (
-                    f"HOG cell ({cell}px) must not exceed the token stride "
+                assert stride_hw >= cell and stride_hw % cell == 0, (
+                    f"HOG cell ({cell}px) must divide the token stride "
                     f"({stride_hw}px at depth {depth}); add POOL_Q_STRIDE "
-                    "stages or reduce PRED_HOG_CELL_SZ"
+                    "stages or adjust PRED_HOG_CELL_SZ"
                 )
                 ncell = (stride_hw // cell) ** 2
                 num_class = 3 * nbins * ncell
-                frames = imgs[:, ::pt][:, :t_out]
+                frames = _pad_frames(imgs[:, ::pt][:, :t_out])
                 label = hog_label_3d(frames, feat_hw, nbins, cell)
             else:
                 u = 1 if cfg.MASK.TIME_STRIDE_LOSS else pt
                 num_class = u * stride_hw * stride_hw * 3
                 frames = imgs[:, ::pt] if cfg.MASK.TIME_STRIDE_LOSS else imgs
-                label = patchify_3d(frames, stride_hw, u)
+                label = patchify_3d(_pad_frames(frames), stride_hw, u)
                 if cfg.MASK.NORM_PRED_PIXEL:
                     label = normalize_patches(label)
             # MASK.HEAD_TYPE (reference MSSeparateHead head_helper.py:474):
@@ -267,13 +332,25 @@ class MaskMViT(nn.Module):
                 dtype=self.dtype,
                 name=f"pred_head_{depth}",
             )(feat, train)
-            # token mask at this depth's resolution: max-pool the input mask
+            # token mask at this depth's resolution: max-pool the input
+            # mask. Window = ceil ratio with symmetric zero padding so
+            # non-tiling grids (78 -> 10 at the 312^2 preset) pool
+            # correctly; for tiling grids this is the exact reshape-max.
             d_mask = mask.reshape(imgs.shape[0], t, h, w)
             if (t, h, w) != tuple(thw):
                 ft, fh, fw = thw
-                d_mask = d_mask.reshape(
-                    imgs.shape[0], ft, t // ft, fh, h // fh, fw, w // fw
-                ).max(axis=(2, 4, 6))
+                wins = tuple(
+                    -(-src // dst) for src, dst in zip((t, h, w), thw)
+                )
+                pads = [(0, 0)] + [
+                    ((dst * win - src) // 2,
+                     dst * win - src - (dst * win - src) // 2)
+                    for src, dst, win in zip((t, h, w), thw, wins)
+                ]
+                d_mask = jax.lax.reduce_window(
+                    d_mask, -jnp.inf, jax.lax.max,
+                    (1,) + wins, (1,) + wins, pads,
+                )
             preds.append(pred)
             labels.append(jax.lax.stop_gradient(label))
             masks.append(d_mask.reshape(imgs.shape[0], -1))
@@ -401,6 +478,25 @@ class MaskMViT(nn.Module):
         label = patchify_3d(frames, stride_hw, u)
         if cfg.MASK.NORM_PRED_PIXEL:
             label = normalize_patches(label)
+        if cfg.VIS_MASK.ENABLE:
+            # reference masked.py:464-525 (_mae_visualize under
+            # cfg.VIS_MASK.ENABLE): return (input, masked-input,
+            # reconstruction-pasted-into-input) videos for the offline
+            # dump (engine/train epoch-end -> utils/visualization)
+            raw = patchify_3d(frames, stride_hw, u)
+            rec = pred.astype(jnp.float32)
+            if cfg.MASK.NORM_PRED_PIXEL:
+                # denormalize with the target patch statistics, like the
+                # reference's norm_pix paste (:489-497)
+                mean = raw.mean(axis=-1, keepdims=True)
+                var = raw.var(axis=-1, keepdims=True)
+                rec = rec * jnp.sqrt(var + 1e-6) + mean
+            m = mask[..., None]
+            vis = tuple(
+                unpatchify_3d(v, (t, h, w), stride_hw, u)
+                for v in (raw, raw * (1.0 - m), rec * m + raw * (1.0 - m))
+            )
+            return [pred], [jax.lax.stop_gradient(label)], [mask], [1.0], vis
         return [pred], [jax.lax.stop_gradient(label)], [mask], [1.0]
 
 

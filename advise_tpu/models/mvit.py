@@ -144,8 +144,15 @@ def mvit_block_schedule(cfg, patch_dims=None):
             )
         )
         if len(stride_q[i]) > 0:
+            # conv-arithmetic grid (pad k//2), NOT size//stride: they
+            # agree on even sizes but differ on odd ones (39 -> 20 vs
+            # 19), where the floor-div the reference uses
+            # (reversible_mvit.py:123-127) diverges from what its own
+            # attention_pool actually produces — caught at the 312^2
+            # preset's 78 -> 39 -> 20 grid in the r4 AOT certification
             input_size = [
-                size // s for size, s in zip(input_size, stride_q[i])
+                (size + 2 * (k // 2) - k) // s + 1
+                for size, k, s in zip(input_size, pool_q[i], stride_q[i])
             ]
         dim = dim_out
     return blocks, dim  # final embed dim
@@ -298,6 +305,119 @@ class RevMlpSub(nn.Module):
             )
             xm = gamma * xm
         return xm
+
+
+class StageTransitionBlock(nn.Module):
+    """Non-reversible buffer block between reversible segments
+    (reference ``reversible_mvit.py`` StageTransitionBlock :283-428).
+
+    Honors the restored ``MVIT.REV`` structural knobs:
+
+    - ``pre_q_fusion`` fuses the two equal reversible streams on entry
+      (elementwise TwoStreamFusion modes add/max/min/avg; the 'concat*'
+      dim-doubling variants of reference :89-97 are rejected loudly in
+      ``assert_and_infer_cfg``).
+    - ``res_path='conv'`` pools the residual through the attention's OWN
+      pool_q conv + norm (shared weights — reference :343,385-410 uses
+      ``self.F.attn.pool_q``); ``'max'`` uses the stride+1 maxpool
+      (reference :345-352; for odd stride>1 the reference pads stride//2
+      where we pad kernel//2 — identical for the 1/2/4 strides in use).
+    - F/G are pre-norm attention / MLP sub-blocks and drop-path applies
+      to the WHOLE output (reference :422-426), unlike MultiScaleBlock's
+      per-branch drop-path.
+    """
+
+    dim: int
+    dim_out: int
+    num_heads: int
+    input_size: Tuple[int, int, int]
+    mlp_ratio: float
+    qkv_bias: bool
+    drop_rate: float
+    drop_path: float
+    kernel_q: Tuple[int, ...]
+    kernel_kv: Tuple[int, ...]
+    stride_q: Tuple[int, ...]
+    stride_kv: Tuple[int, ...]
+    mode: str = "conv"
+    pool_first: bool = False
+    rel_pos_spatial: bool = False
+    rel_pos_temporal: bool = False
+    rel_pos_zero_init: bool = False
+    residual_pooling: bool = False
+    separate_qkv: bool = False
+    pre_q_fusion: str = "avg"
+    res_path: str = "conv"
+    seq_axis: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, thw, deterministic: bool = True):
+        from advise_tpu.models.layers.attention import _pool_tokens
+        from advise_tpu.models.layers.common import DropPath
+
+        x = TwoStreamFusion(mode=self.pre_q_fusion, name="pre_q_fuse")(x)
+        x_res = x
+        proj_needed = self.dim != self.dim_out
+        if proj_needed and not self.pool_first:
+            # reference :360-362: linear projection on the residual
+            # before pooling (after, when pool_first)
+            x_res = nn.Dense(
+                self.dim_out, dtype=self.dtype, kernel_init=trunc02,
+                name="res_proj",
+            )(x_res)
+        x_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        attn = MultiScaleAttention(
+            dim_out=self.dim_out,
+            num_heads=self.num_heads,
+            input_size=tuple(self.input_size),
+            qkv_bias=self.qkv_bias,
+            drop_rate=self.drop_rate,
+            kernel_q=tuple(self.kernel_q),
+            kernel_kv=tuple(self.kernel_kv),
+            stride_q=tuple(self.stride_q),
+            stride_kv=tuple(self.stride_kv),
+            has_cls_embed=False,
+            mode=self.mode,
+            pool_first=self.pool_first,
+            rel_pos_spatial=self.rel_pos_spatial,
+            rel_pos_temporal=self.rel_pos_temporal,
+            rel_pos_zero_init=self.rel_pos_zero_init,
+            residual_pooling=self.residual_pooling,
+            separate_qkv=self.separate_qkv,
+            seq_axis=self.seq_axis,
+            dtype=self.dtype,
+            name="attn",
+        )
+        if self.res_path == "conv":
+            x_block, thw_new, x_res = attn(
+                x_norm, thw, deterministic, x_res=x_res
+            )
+        else:  # 'max'
+            x_block, thw_new = attn(x_norm, thw, deterministic)
+            stride = tuple(self.stride_q)
+            if stride and math.prod(stride) > 1:
+                kernel = tuple(s + 1 if s > 1 else s for s in stride)
+                x_res, _ = _pool_tokens(
+                    x_res[:, None], thw, kernel, stride, "max", False,
+                )
+                x_res = x_res[:, 0]
+        if proj_needed and self.pool_first:
+            x_res = nn.Dense(
+                self.dim_out, dtype=self.dtype, kernel_init=trunc02,
+                name="res_proj",
+            )(x_res)
+        x = x_res + x_block
+        x_norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = x + Mlp(
+            hidden_features=int(self.dim_out * self.mlp_ratio),
+            out_features=self.dim_out,
+            drop_rate=self.drop_rate,
+            dtype=self.dtype,
+            name="mlp",
+        )(x_norm2, deterministic)
+        x = DropPath(self.drop_path, name="drop_path")(x, deterministic)
+        return x, thw_new
 
 
 class MViT(nn.Module):
@@ -477,38 +597,53 @@ class MViT(nn.Module):
             x1, x2 = x, x
             i = 0
             seg_id = 0
+            # a layer is a (non-reversible) stage transition when its
+            # spec forces it (dim change or Q-pooling) OR when the config
+            # lists it in MVIT.REV.BUFFER_LAYERS (reference
+            # reversible_mvit.py:89: `if i in cfg.MVIT.REV.BUFFER_LAYERS`
+            # — the reference relies ENTIRELY on the list; we infer the
+            # structurally-required ones and let the knob force extras)
+            buffer_layers = {int(b) for b in cfg.MVIT.REV.BUFFER_LAYERS}
+            transition_cls = nn.remat(
+                StageTransitionBlock, static_argnums=(2, 3),
+                prevent_cse=False, policy=remat_policy(cfg),
+            )
             while i < len(schedule):
                 spec = schedule[i]
                 uniform = spec["dim"] == spec["dim_out"] and (
                     len(spec["stride_q"]) == 0
                     or math.prod(spec["stride_q"]) == 1
-                )
+                ) and i not in buffer_layers
                 if not uniform:
-                    # StageTransitionBlock: fuse streams, run a (remat'd)
-                    # full block, re-split (reference :385-443)
-                    blk = block_cls(
+                    # StageTransitionBlock (reference :283-428): fuse the
+                    # two streams (MVIT.REV.PRE_Q_FUSION), pooled residual
+                    # (MVIT.REV.RES_PATH), F/G, output drop-path
+                    blk = transition_cls(
                         **{k: tuple(v) if isinstance(v, list) else v
                            for k, v in spec.items()},
                         mlp_ratio=cfg.MVIT.MLP_RATIO,
                         qkv_bias=cfg.MVIT.QKV_BIAS,
                         drop_rate=cfg.MVIT.DROPOUT_RATE,
                         drop_path=float(dpr[i]),
-                        layer_scale_init_value=cfg.MVIT.LAYER_SCALE_INIT_VALUE,
                         mode=cfg.MVIT.MODE,
-                        has_cls_embed=False,
                         pool_first=cfg.MVIT.POOL_FIRST,
                         rel_pos_spatial=cfg.MVIT.REL_POS_SPATIAL,
                         rel_pos_temporal=cfg.MVIT.REL_POS_TEMPORAL,
                         rel_pos_zero_init=cfg.MVIT.REL_POS_ZERO_INIT,
                         residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
-                        dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
                         separate_qkv=cfg.MVIT.SEPARATE_QKV,
+                        pre_q_fusion=cfg.MVIT.REV.PRE_Q_FUSION,
+                        res_path=cfg.MVIT.REV.RES_PATH,
                         seq_axis=_block_seq_axis(cfg, spec),
                         dtype=self.dtype,
                         name=f"blocks_{i}",
                     )
-                    fused = (x1 + x2) / 2.0
-                    out, _ = blk(fused, thw, not train)
+                    # discard the block's returned thw: through nn.remat
+                    # python ints in outputs come back traced; the grid
+                    # is statically recomputable
+                    out, _ = blk(
+                        jnp.concatenate([x1, x2], axis=-1), thw, not train
+                    )
                     x1 = x2 = out
                     thw = _pooled_thw(thw, spec["kernel_q"], spec["stride_q"])
                     if i in self.return_intermediate:
@@ -517,8 +652,13 @@ class MViT(nn.Module):
                     continue
 
                 # uniform segment: group all consecutive identical specs
+                # (stopping at forced buffer layers)
                 j = i
-                while j < len(schedule) and schedule[j] == spec:
+                while (
+                    j < len(schedule)
+                    and schedule[j] == spec
+                    and j not in buffer_layers
+                ):
                     j += 1
                 x1, x2 = self._rev_segment(
                     spec, seg_id, j - i, dpr[i:j], x1, x2, train

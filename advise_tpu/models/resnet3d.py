@@ -75,11 +75,17 @@ class ResNet3D(nn.Module):
         temp_kernel = TEMPORAL_KERNEL_BASIS[arch]
 
         stage_cls = ResStage
+        stage_kwargs = {}
         if cfg.TPU.REMAT or cfg.MODEL.ACT_CHECKPOINT:
-            stage_cls = nn.remat(
-                ResStage, static_argnums=(2,), prevent_cse=False,
-                policy=remat_policy(cfg),
-            )
+            if getattr(cfg.TPU, "REMAT_GRANULARITY", "stage") == "block":
+                # per-block checkpoint: the backward replays one
+                # residual block at a time (config/defaults.py)
+                stage_kwargs = {"remat_blocks": True}
+            else:
+                stage_cls = nn.remat(
+                    ResStage, static_argnums=(2,), prevent_cse=False,
+                    policy=remat_policy(cfg),
+                )
 
         x = ResNetBasicStem(
             dim_out=width,
@@ -119,6 +125,7 @@ class ResNet3D(nn.Module):
                 norm=self.norm,
                 dtype=self.dtype,
                 name=f"s{si + 2}",
+                **stage_kwargs,
             )([x], train)[0]
             if si == 0:  # pool after s2 (reference forward :628-632)
                 pool = POOL1[arch]

@@ -87,13 +87,17 @@ class SlowFast(nn.Module):
 
         d2, d3, d4, d5 = MODEL_STAGE_DEPTH[cfg.RESNET.DEPTH]
         stage_cls = ResStage
+        stage_kwargs = {}
         if cfg.TPU.REMAT or cfg.MODEL.ACT_CHECKPOINT:
-            # per-stage rematerialization (same policy as ResNet3D;
-            # previously SlowFast silently ignored TPU.REMAT)
-            stage_cls = nn.remat(
-                ResStage, static_argnums=(2,), prevent_cse=False,
-                policy=remat_policy(cfg),
-            )
+            if getattr(cfg.TPU, "REMAT_GRANULARITY", "stage") == "block":
+                # per-block checkpoint: the backward replays one
+                # residual block at a time (config/defaults.py)
+                stage_kwargs = {"remat_blocks": True}
+            else:
+                stage_cls = nn.remat(
+                    ResStage, static_argnums=(2,), prevent_cse=False,
+                    policy=remat_policy(cfg),
+                )
         num_groups = cfg.RESNET.NUM_GROUPS
         w = cfg.RESNET.WIDTH_PER_GROUP
         dim_inner = num_groups * w
@@ -166,6 +170,7 @@ class SlowFast(nn.Module):
                 norm=self.norm,
                 dtype=self.dtype,
                 name=f"s{si + 2}",
+                **stage_kwargs,
             )([x_s, x_f], train)
             x_s, x_f = outs[0], outs[1]
             if si < 3:  # fuse after s2..s4 (reference forward :183-193)

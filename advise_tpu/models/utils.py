@@ -117,13 +117,28 @@ def calc_mvit_feature_geometry(cfg) -> Tuple[List[List[int]], List[List[int]]]:
         ]
         for _ in range(cfg.MVIT.DEPTH + 1)
     ]
+    # kernel for the Q pool (mvit_block_schedule uses the same choice)
+    kq = (
+        list(cfg.MVIT.POOL_KVQ_KERNEL)
+        if cfg.MVIT.POOL_KVQ_KERNEL is not None
+        else None
+    )
     for _, x in enumerate(cfg.MVIT.POOL_Q_STRIDE):
         depth = x[0]
         for i in range(cfg.MVIT.DEPTH + 1):
             if i >= depth + 1:
                 for j in range(3):
-                    feat_size[i][j] = max(feat_size[i][j] // x[j + 1], 1)
-                    feat_stride[i][j] = feat_stride[i][j] * x[j + 1]
+                    s = x[j + 1]
+                    k = kq[j] if kq is not None else (s + 1 if s > 1 else s)
+                    # conv-arithmetic grid (pad k//2), matching what the
+                    # pooled attention actually produces — size//stride
+                    # (the reference models/utils.py:150-225 formula)
+                    # diverges on ODD sizes (39 -> 20 vs 19; caught at
+                    # the 312^2 preset in the r4 AOT certification)
+                    feat_size[i][j] = max(
+                        (feat_size[i][j] + 2 * (k // 2) - k) // s + 1, 1
+                    )
+                    feat_stride[i][j] = feat_stride[i][j] * s
     return feat_size, feat_stride
 
 

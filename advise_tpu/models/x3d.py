@@ -64,11 +64,17 @@ class X3D(nn.Module):
         dim_out = dim_in
         dim_inner = dim_in
         stage_cls = ResStage
+        stage_kwargs = {}
         if cfg.TPU.REMAT or cfg.MODEL.ACT_CHECKPOINT:
-            stage_cls = nn.remat(
-                ResStage, static_argnums=(2,), prevent_cse=False,
-                policy=remat_policy(cfg),
-            )
+            if getattr(cfg.TPU, "REMAT_GRANULARITY", "stage") == "block":
+                # per-block checkpoint: the backward replays one
+                # residual block at a time (config/defaults.py)
+                stage_kwargs = {"remat_blocks": True}
+            else:
+                stage_cls = nn.remat(
+                    ResStage, static_argnums=(2,), prevent_cse=False,
+                    policy=remat_policy(cfg),
+                )
         for stage, (blocks, c, stride) in enumerate(block_basis):
             dim_out = round_width(c, w_mul)
             dim_inner = int(cfg.X3D.BOTTLENECK_FACTOR * dim_out)
@@ -99,6 +105,7 @@ class X3D(nn.Module):
                 norm=self.norm,
                 dtype=self.dtype,
                 name=f"s{stage + 2}",
+                **stage_kwargs,
             )([x], train)[0]
             dim_in = dim_out
 

@@ -84,6 +84,16 @@ def mesh_shape(cfg, n_devices: Optional[int] = None) -> Tuple[int, int]:
     while n % sync != 0:
         sync -= 1  # fall back to the largest divisor
     data = n // sync
+    # TPU.MESH_DATA: explicit data-axis size (-1 = infer as n // sync).
+    # An explicit value must agree with the device count — reject loudly
+    # rather than silently ignoring a user-pinned topology.
+    want_data = int(getattr(cfg.TPU, "MESH_DATA", -1) or -1)
+    if want_data > 0 and want_data != data:
+        raise ValueError(
+            f"TPU.MESH_DATA={want_data} but {n} batch devices with "
+            f"sync={sync} give data={data}; set MESH_DATA -1 to infer or "
+            "make data*sync match the device count"
+        )
     return data, sync
 
 

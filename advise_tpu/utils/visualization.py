@@ -129,3 +129,66 @@ def cam_heatmaps(tokens: np.ndarray, grid_hw: int, frame_hw: int) -> np.ndarray:
             [cv2.resize(m, (frame_hw, frame_hw)) for m in maps]
         )
     return maps
+
+
+def dump_mask_visualization(
+    cfg, model, params, batch_stats, clips_u8, device_aug, rng,
+    epoch: int, max_items: int = 4,
+) -> Optional[str]:
+    """VIS_MASK.ENABLE: write (input | masked-input | reconstruction)
+    comparison videos for a batch (reference masked.py:464-540: the MAE
+    forward returns the triple and plot_input_normed writes mp4s under
+    OUTPUT_DIR/vis_mask/vid/{pfx}... with the TEST.CHECKPOINT_FILE_PATH
+    basename as prefix). Called from the trainer at epoch end on one
+    batch — the hot train step never carries the videos.
+
+    Returns the output directory (None when nothing was written).
+    """
+    if not cfg.VIS_MASK.ENABLE:
+        return None
+    aug_rng, mask_rng, drop_rng = jax.random.split(rng, 3)
+    clips = (
+        device_aug(clips_u8, aug_rng) if device_aug is not None else clips_u8
+    )
+    b, k = clips.shape[:2]
+    x = clips.reshape(b * k, *clips.shape[2:])[:max_items]
+    x = x.astype(
+        jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    )
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        x, train=False,
+        rngs={"mask": mask_rng, "dropout": drop_rng},
+    )
+    vis = out[-1]  # (input, masked, recon), each [N, T, H, W, 3]
+    pfx = os.path.basename(str(cfg.TEST.CHECKPOINT_FILE_PATH or ""))
+    pfx = pfx.rsplit(".", 1)[0]
+    mr = cfg.AUG.MASK_RATIO
+    out_dir = os.path.join(
+        cfg.OUTPUT_DIR, "vis_mask", "vid",
+        f"{pfx}vis_video_in_mask_out_mr{mr}",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    triple = np.stack([np.asarray(v, np.float32) for v in vis], axis=1)
+    # comparison grid [N, 3, T, H, W, 3]: de-normalize with DATA.MEAN/STD
+    for i in range(triple.shape[0]):
+        frames = [
+            np.concatenate(
+                [denormalize(triple[i, j, f], cfg.DATA.MEAN, cfg.DATA.STD)
+                 for j in range(3)],
+                axis=1,
+            )
+            for f in range(triple.shape[2])
+        ]
+        np.save(os.path.join(out_dir, f"vis_{epoch}_{i}.npy"), triple[i])
+        if _HAS_CV2:
+            h, w = frames[0].shape[:2]
+            vw = cv2.VideoWriter(
+                os.path.join(out_dir, f"vis_{epoch}_{i}.mp4"),
+                cv2.VideoWriter_fourcc(*"mp4v"), 4, (w, h),
+            )
+            for f in frames:
+                vw.write(f[..., ::-1])  # RGB -> BGR
+            vw.release()
+    logger.info("VIS_MASK: wrote %d comparisons to %s", triple.shape[0], out_dir)
+    return out_dir

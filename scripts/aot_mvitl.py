@@ -1,0 +1,168 @@
+"""AOT-certify the pod-scale MViT-L 32x312 joint preset at REAL shape.
+
+Compiles the FULL train step of ``configs/pretrain/MViT_L_32x312_joint.yaml``
+(EMBED_DIM=144, DEPTH=48, 32 frames x 312^2, reversible O(1) + MVIT.SEQ_SHARD
+ring attention) against a chipless v5e TPU topology via
+``jax.experimental.topologies`` + the local libtpu AOT compiler — no chips
+needed — and reports XLA's compiled per-chip memory analysis vs the 16G v5e
+HBM budget (BASELINE.json config #5; VERDICT r3 item 3).
+
+Usage: python scripts/aot_mvitl.py [--topology v5e:4x8] [--seq 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--topology", default="v5e:4x8",
+                    help="chipless target topology (32 chips default)")
+    ap.add_argument("--seq", type=int, default=8, help="TPU.MESH_SEQ")
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrink the model (plumbing smoke, not the cert)")
+    ap.add_argument("--opts", nargs="*", default=[])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import topologies
+
+    from advise_tpu.config import assert_and_infer_cfg, get_cfg
+    from advise_tpu.data import build_device_aug, ingest_geometry
+    from advise_tpu.engine.state import TrainState
+    from advise_tpu.engine.steps import make_train_step
+    from advise_tpu.models import build_model
+    from advise_tpu.parallel import build_mesh
+    from advise_tpu.solver import build_tx
+
+    topo = topologies.get_topology_desc(
+        platform="tpu", topology_name=args.topology
+    )
+    devices = list(topo.devices)
+    n = len(devices)
+    print(f"topology {args.topology}: {n} abstract devices")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        os.path.join(root, "configs/pretrain/MViT_L_32x312_joint.yaml")
+    )
+    cfg.NUM_GPUS = n
+    cfg.TPU.MESH_SEQ = args.seq
+    cfg.DATA.DECODE_BACKEND = "synthetic"
+    if args.tiny:
+        cfg.MVIT.EMBED_DIM = 8
+        cfg.MVIT.NUM_HEADS = 1
+        cfg.MVIT.DEPTH = 6
+        cfg.MVIT.DIM_MUL = [[2, 2.0]]
+        cfg.MVIT.HEAD_MUL = [[2, 2.0]]
+        cfg.MVIT.POOL_Q_STRIDE = [[2, 1, 2, 2]]
+        cfg.MASK.PRETRAIN_DEPTH = [5]
+        cfg.DATA.NUM_FRAMES = 8
+        cfg.AUG.TARGET_SIZE = 64
+        cfg.MVIT.SEQ_SHARD_MIN_TOKENS = 256
+    cfg.DATA.TRAIN_CROP_SIZE = cfg.AUG.TARGET_SIZE
+    cfg.DATA.TEST_CROP_SIZE = cfg.AUG.TARGET_SIZE
+    cfg.NUM_WORLDS = n // max(args.seq, 1)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg = assert_and_infer_cfg(cfg)
+
+    mesh = build_mesh(cfg, devices=devices)
+    print(f"mesh: {dict(mesh.shape)}")
+
+    model = build_model(cfg)
+    model_init = build_model(cfg, sync_axes=())
+    t, s = cfg.DATA.NUM_FRAMES, cfg.AUG.TARGET_SIZE
+    sample = jnp.zeros((1, t, s, s, 3), jnp.float32)
+
+    # abstract state: eval_shape the whole init chain so the 218M-param
+    # MViT-L never materializes on the host
+    def init_variables():
+        return model_init.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1),
+             "mask": jax.random.PRNGKey(2)},
+            sample, train=False,
+        )
+
+    var_shapes = jax.eval_shape(init_variables)
+    param_shapes = var_shapes["params"]
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(param_shapes)
+    )
+    print(f"params: {n_params:,}")
+
+    # build_tx only inspects the tree structure/paths/shapes
+    zeros = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, x.dtype), param_shapes
+    )
+    bundle = build_tx(cfg, zeros)
+    opt_shapes = jax.eval_shape(bundle.tx.init, param_shapes)
+
+    def sds(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
+        )
+
+    state = TrainState(
+        params=sds(param_shapes),
+        batch_stats=sds(var_shapes.get("batch_stats", {})),
+        opt_state=sds(opt_shapes),
+        step=jax.ShapeDtypeStruct((), jnp.int32),
+    )
+
+    b = cfg.NUM_WORLDS * cfg.DATA.BATCHSIZE_PER_GPU  # global batch
+    k = cfg.DATA.NUM_CLIP
+    w_in, h_in = ingest_geometry(cfg, "train")
+    clips = jax.ShapeDtypeStruct((b, k, t, h_in, w_in, 3), jnp.uint8)
+    infos = {}
+    if cfg.TASK == "masked" and not cfg.MASK.MAE_RND_MASK:
+        pt, ph, pw = cfg.MVIT.PATCH_STRIDE
+        grid = (max(t // pt, 1), s // ph, s // pw)
+        infos["mask"] = jax.ShapeDtypeStruct((b, k) + grid, jnp.uint8)
+    rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    lr = jax.ShapeDtypeStruct((), jnp.float32)
+
+    aug = build_device_aug(cfg, "train")
+    step = make_train_step(cfg, mesh, model, bundle, aug)
+
+    print("lowering...")
+    lowered = step.lower(state, clips, infos, rng, lr)
+    print("compiling (chipless TPU AOT)...")
+    compiled = lowered.compile()
+    ma = compiled.memory_analysis()
+    gib = 1 << 30
+    print(
+        f"per-chip memory: args={ma.argument_size_in_bytes / gib:.3f}G "
+        f"out={ma.output_size_in_bytes / gib:.3f}G "
+        f"temp={ma.temp_size_in_bytes / gib:.3f}G "
+        f"alias={ma.alias_size_in_bytes / gib:.3f}G "
+        f"code={ma.generated_code_size_in_bytes / gib:.3f}G"
+    )
+    total = (
+        ma.argument_size_in_bytes
+        + ma.output_size_in_bytes
+        + ma.temp_size_in_bytes
+        - ma.alias_size_in_bytes
+        + ma.generated_code_size_in_bytes
+    )
+    budget = 15.75 * gib  # v5e HBM minus reserved (measured, BASELINE)
+    print(
+        f"TOTAL {total / gib:.3f}G vs budget 15.75G -> "
+        f"{'FITS' if total <= budget else 'OVER by %.2fG' % ((total - budget) / gib)}"
+    )
+    return 0 if total <= budget else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -92,6 +92,21 @@ def main():
         "time_idx": jnp.zeros((b,), jnp.float32),
         "cls_id": jnp.asarray(rng.integers(0, 4, size=(b,))),
     }
+    if cfg.TASK == "masked" and not cfg.MASK.MAE_RND_MASK:
+        # the real pipeline ships loader-side blockwise masks; replicate
+        from advise_tpu.data.masking import MaskingGenerator3D
+
+        pt, ph, pw = cfg.MVIT.PATCH_STRIDE
+        grid = (max(t // pt, 1), h // ph, w // pw)
+        gen = MaskingGenerator3D(
+            grid, int(round(cfg.AUG.MASK_RATIO * grid[0] * grid[1] * grid[2])),
+            max_num_patches=(cfg.AUG.MAX_MASK_PATCHES_PER_BLOCK or None),
+        )
+        infos["mask"] = jnp.asarray(
+            np.stack([gen(rng) for _ in range(b * k)]).reshape(
+                b, k, *grid
+            ).astype(np.uint8)
+        )
     extra = ()
     if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
         extra = (jnp.float32(1.0),)  # epoch_exact

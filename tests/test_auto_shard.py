@@ -73,6 +73,7 @@ def _tiny_masked_cfg():
     cfg.MVIT.PATCH_PADDING = [1, 3, 3]
     cfg.MVIT.DROPPATH_RATE = 0.0
     cfg.MASK.ENABLE = True
+    cfg.MASK.MAE_RND_MASK = True  # hand-built infos: no loader masks
     cfg.MASK.PRETRAIN_DEPTH = [3]
     cfg.AUG.MASK_RATIO = 0.5
     cfg.DATA.NUM_FRAMES = 4
@@ -292,6 +293,7 @@ def test_auto_contrastive_algorithms(ctype):
     cfg.CONTRASTIVE.PREDICTOR_DEPTHS = [2] if ctype == "byol" else []
     cfg.CONTRASTIVE.SWAV_QEUE_LEN = 16 if ctype == "swav" else 0
     cfg.DATA.NUM_CLIP = 2
+    cfg.DATA.TRAIN_CROP_NUM_TEMPORAL = 2  # = NUM_CLIP (reference tie)
     cfg.DATA.NUM_FRAMES = 2
     cfg.AUG.TARGET_SIZE = 16
     cfg.TPU.COMPUTE_DTYPE = "float32"

@@ -155,3 +155,19 @@ def test_pickle_roundtrip():
     cfg2 = pickle.loads(pickle.dumps(cfg))
     assert cfg2.SSL.RANGE == [1, 2, 4, 8]
     assert isinstance(cfg2.SSL, CfgNode)
+
+
+def test_dead_knob_scan_clean():
+    """Every config key has a reader or a written waiver — the mechanical
+    scan (scripts/scan_dead_knobs.py) must stay green so new knobs can't
+    silently go dead (the round-2/3 CONTRASTIVE.SEQUENTIAL failure mode)."""
+    import subprocess
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "scan_dead_knobs.py")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

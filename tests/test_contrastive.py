@@ -40,6 +40,7 @@ def _cfg(ctype, **over):
     cfg.TPU.DONATE = False
     cfg.BN.NORM_TYPE = "sync_batchnorm"
     cfg.DATA.NUM_CLIP = 2
+    cfg.DATA.TRAIN_CROP_NUM_TEMPORAL = 2  # = NUM_CLIP (reference tie)
     cfg.DATA.NUM_FRAMES = 2
     cfg.AUG.TARGET_SIZE = 16
     cfg.NUM_WORLDS = 8

@@ -57,6 +57,7 @@ def _cfg(arch, ctype):
     # degenerate to zeros)
     cfg.BN.NORM_TYPE = "sync_batchnorm"
     cfg.BN.GLOBAL_SYNC = False
+    cfg.DATA.TRAIN_CROP_NUM_TEMPORAL = 2  # = NUM_CLIP (reference tie)
     cfg.DATA.NUM_CLIP = 2
     cfg.DATA.NUM_FRAMES = 2
     cfg.AUG.TARGET_SIZE = 16

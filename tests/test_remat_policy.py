@@ -70,8 +70,10 @@ def _loss_and_grads(cfg, x):
         {"REMAT": True, "REMAT_POLICY": "dots"},
         {"STEM_BARRIER": True},
         {"REMAT": True, "REMAT_POLICY": "block_outs", "STEM_BARRIER": True},
+        {"REMAT": True, "REMAT_GRANULARITY": "block"},
     ],
-    ids=["block_outs", "dots", "barrier", "block_outs+barrier"],
+    ids=["block_outs", "dots", "barrier", "block_outs+barrier",
+         "block_granularity"],
 )
 def test_policy_and_barrier_grad_parity(tpu):
     x = jnp.asarray(

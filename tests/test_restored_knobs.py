@@ -257,6 +257,7 @@ def _mask_cfg():
     cfg = _mvit_cfg()
     cfg.MODEL.MODEL_NAME = "MaskMViT"
     cfg.MASK.ENABLE = True
+    cfg.MASK.MAE_RND_MASK = True  # standalone model tests: in-model mask
     cfg.MASK.PRETRAIN_DEPTH = [3]
     cfg.AUG.MASK_RATIO = 0.5
     cfg.MVIT.POOL_Q_STRIDE = []
@@ -367,3 +368,218 @@ def test_rbyol_motion_shift_crop():
     np.testing.assert_allclose(outs[False][0], outs[False][-1], atol=1e-5)
     # with motion shift the box moves across frames
     assert np.abs(outs[True][0] - outs[True][-1]).max() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# round-4 dead-knob audit wirings
+# ---------------------------------------------------------------------------
+
+
+def _maskfeat_cfg():
+    cfg = get_cfg()
+    cfg.TASK = "masked"
+    cfg.MODEL.MODEL_NAME = "MaskMViT"
+    cfg.MASK.ENABLE = True
+    cfg.MASK.PRETRAIN_DEPTH = [3]
+    cfg.AUG.MASK_RATIO = 0.5
+    cfg.MVIT.EMBED_DIM = 24
+    cfg.MVIT.NUM_HEADS = 1
+    cfg.MVIT.DEPTH = 4
+    cfg.MVIT.POOL_Q_STRIDE = []
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = None
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.AUG.TARGET_SIZE = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def test_mae_rnd_mask_false_uses_loader_mask():
+    """MASK.MAE_RND_MASK=False: the maskfeat forward consumes the
+    loader's blockwise mask verbatim (reference masked.py:558-560) and
+    rejects a missing one loudly."""
+    import pytest
+
+    from advise_tpu.models import build_model
+
+    cfg = _maskfeat_cfg()
+    cfg.MASK.MAE_RND_MASK = False
+    m = build_model(assert_and_infer_cfg(cfg), sync_axes=())
+    x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "mask": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    # token grid: t=4/PATCH_STRIDE_t(=2)->2, h=w=32/4=8
+    lm = np.zeros((1, 2 * 8 * 8), np.float32)
+    lm[:, :64] = 1.0
+    v = m.init(rngs, x, train=False, loader_mask=jnp.asarray(lm))
+    out = m.apply(v, x, train=False, loader_mask=jnp.asarray(lm),
+                  rngs={"mask": jax.random.PRNGKey(1),
+                        "dropout": jax.random.PRNGKey(2)})
+    preds, labels, masks, weights = out
+    np.testing.assert_array_equal(
+        np.asarray(masks[0][0]), lm[0]
+    )  # the provided mask IS the loss mask
+    with pytest.raises(ValueError, match="MAE_RND_MASK"):
+        # init falls back to a random mask (shapes only); APPLY without
+        # loader masks must reject loudly
+        m.apply(v, x, train=False,
+                rngs={"mask": jax.random.PRNGKey(1),
+                      "dropout": jax.random.PRNGKey(2)})
+
+
+def test_mask_gen_plumbed_through_pipeline():
+    """The synthetic masked pipeline ships blockwise loader masks in
+    infos['mask'] with MASK.MAE_RND_MASK=False."""
+    from advise_tpu.data import build_dataset
+
+    cfg = _maskfeat_cfg()
+    cfg.MASK.MAE_RND_MASK = False
+    cfg.DATA.DECODE_BACKEND = "synthetic"
+    cfg = assert_and_infer_cfg(cfg)
+    ds = build_dataset(cfg, "train")
+    clips, infos = ds.get(0, np.random.default_rng(0))
+    k = clips.shape[0]
+    assert infos["mask"].shape == (k, 2, 8, 8)
+    frac = infos["mask"].mean()
+    assert 0.2 < frac < 0.8, frac  # blockwise generator hit ~MASK_RATIO
+
+
+def test_vis_mask_outputs_and_dump(tmp_path):
+    """VIS_MASK.ENABLE: the MAE forward returns (input, masked, recon)
+    videos (reference masked.py:464-525) and the epoch-end dump writes
+    comparison files named with the TEST.CHECKPOINT_FILE_PATH prefix."""
+    from advise_tpu.models import build_model
+    from advise_tpu.utils.visualization import dump_mask_visualization
+
+    cfg = _maskfeat_cfg()
+    cfg.MASK.MAE_ON = True
+    cfg.MASK.MAE_RND_MASK = True
+    cfg.MVIT.CLS_EMBED_ON = False
+    cfg.MASK.DECODER_DEPTH = 1
+    cfg.MASK.DECODER_EMBED_DIM = 32
+    cfg.VIS_MASK.ENABLE = True
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TEST.CHECKPOINT_FILE_PATH = "ckpt/Model_Ep20.pyth"
+    cfg = assert_and_infer_cfg(cfg)
+    m = build_model(cfg, sync_axes=())
+    x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "mask": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    v = m.init(rngs, x, train=False)
+    out = m.apply(v, x, train=False,
+                  rngs={"mask": jax.random.PRNGKey(1),
+                        "dropout": jax.random.PRNGKey(2)})
+    assert len(out) == 5
+    vis = out[-1]
+    assert len(vis) == 3 and vis[0].shape[-1] == 3
+    clips_u8 = jnp.zeros((1, 1, 4, 32, 32, 3), jnp.uint8)
+    out_dir = dump_mask_visualization(
+        cfg, m, v["params"], v.get("batch_stats", {}), clips_u8, None,
+        jax.random.PRNGKey(5), epoch=0,
+    )
+    import os
+
+    files = os.listdir(out_dir)
+    assert any(f.endswith(".npy") for f in files), files
+    assert "Model_Ep20" in out_dir
+
+
+def test_mesh_data_knob_validated():
+    """TPU.MESH_DATA: explicit sizes are honored-or-rejected, never
+    silently ignored."""
+    import pytest
+
+    from advise_tpu.parallel.mesh import mesh_shape
+
+    cfg = get_cfg()
+    cfg.TPU.MESH_SYNC = 4
+    cfg.TPU.MESH_DATA = 2
+    assert mesh_shape(cfg, 8) == (2, 4)
+    cfg.TPU.MESH_DATA = 3
+    with pytest.raises(ValueError, match="MESH_DATA"):
+        mesh_shape(cfg, 8)
+
+
+def test_ssl_method_knob():
+    """SSL.METHOD: 'random' is the implemented branch; anything else
+    raises like the reference's stamp generators (sampling.py:49)."""
+    import pytest
+
+    from advise_tpu.data.sampling import SpeedClipSampler
+
+    s = SpeedClipSampler(
+        num_clips=1, num_frames=2, stride=1, speed_range=[1, 2],
+        jitter=0.0, method="uniform",
+    )
+    with pytest.raises(NotImplementedError, match="SSL.METHOD"):
+        s(np.random.default_rng(0), 32, {})
+
+
+def test_ssl_stat_names_and_margin_metric():
+    """SSL.STAT renames the logged stats and the 'margin' metric wires
+    SSL.MARGIN (reference tools/train.py:94-116)."""
+    from advise_tpu.engine.steps import speed_task_loss
+    from advise_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.TASK = "speed"
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    cfg.MODEL.ARCH = "slow"
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.RESNET.DEPTH = 10
+    cfg.RESNET.TRANS_FUNC = "basic_transform"
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[1], [1], [1], [1]]
+    cfg.SSL.STAT = ["loss_spd", "acc_spd", "margin_spd"]
+    cfg.SSL.METRIC = ["ce", "acc@1", "margin"]
+    cfg.SSL.MARGIN = 0.7
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg = assert_and_infer_cfg(cfg)
+    model = build_model(cfg, sync_axes=())
+    x = jnp.zeros((2, 2, 2, 16, 16, 3), jnp.float32)
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x[0], train=False,
+    )
+    infos = {"spd_label": jnp.zeros((2, 2), jnp.int32)}
+    loss, (_, stats) = speed_task_loss(
+        cfg, model, v["params"], v.get("batch_stats", {}), x, infos,
+        jax.random.PRNGKey(2), train=False,
+    )
+    assert set(stats) == {"loss_spd", "acc_spd", "margin_spd"}
+    assert np.isfinite(float(stats["margin_spd"]))
+
+
+def test_local_shuffle_bn_axes():
+    """CONTRASTIVE.LOCAL_SHUFFLE_BN=False shuffles over ALL batch axes
+    (global gather), True over the 'sync' subgroup only (reference
+    contrastive.py:187,219)."""
+    from advise_tpu.engine import contrastive as C
+
+    src = open(C.__file__).read()
+    assert "LOCAL_SHUFFLE_BN" in src  # wired, not silently ignored
+    from advise_tpu.parallel.collectives import batch_shuffle, batch_unshuffle
+    from advise_tpu.parallel import build_mesh
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    cfg = get_cfg()
+    cfg.TPU.MESH_SYNC = 4
+    cfg.NUM_WORLDS = 8
+    mesh = build_mesh(cfg)
+    x = jnp.arange(16.0).reshape(16, 1)
+
+    for axes in (("sync",), ("data", "sync")):
+        f = shard_map(
+            lambda v: batch_unshuffle(
+                *batch_shuffle(v, jax.random.PRNGKey(0), axes), axes
+            ),
+            mesh=mesh, in_specs=P(("data", "sync")),
+            out_specs=P(("data", "sync")), check_vma=False,
+        )
+        np.testing.assert_allclose(np.asarray(f(x)), np.asarray(x))

@@ -60,6 +60,48 @@ def test_seq_sharded_attention_matches_dense():
     )
 
 
+def test_seq_qshard_pooled_kv_matches_dense():
+    """Pooled-KV attention (stride_kv shrinks K/V so nk % nseq != 0)
+    routes through the q-only sharding path — each chip keeps the full
+    small K/V and computes its Q slice densely — and must equal the
+    unsharded computation (the 32x312 preset's 97,344-q/1,521-kv shape
+    class; r4 AOT certification)."""
+    from advise_tpu.models.layers.attention import MultiScaleAttention
+
+    kw = dict(
+        dim_out=16,
+        num_heads=2,
+        input_size=(2, 4, 4),
+        qkv_bias=True,
+        has_cls_embed=False,
+        mode="conv",
+        kernel_kv=(3, 3, 3),
+        stride_kv=(1, 2, 2),  # kv tokens: 32 -> 2*2*2=8, 8 % 4 == 0 but
+        # nk != nq so the q-shard branch (not ring) is taken
+    )
+    dense_attn = MultiScaleAttention(**kw, seq_axis=None)
+    shard_attn = MultiScaleAttention(**kw, seq_axis=SEQ_AXIS)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 32, 16)).astype(np.float32)
+    )
+    v = dense_attn.init(
+        {"params": jax.random.PRNGKey(0)}, x, (2, 4, 4), True
+    )
+    ref, _ = dense_attn.apply(v, x, (2, 4, 4), True)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), (SEQ_AXIS,))
+    f = shard_map(
+        lambda p, xx: shard_attn.apply(p, xx, (2, 4, 4), True)[0],
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = f(v, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def _tiny_joint_cfg():
     """The MViT-L joint preset's structure at tiny width/res."""
     cfg = get_cfg()
@@ -77,11 +119,13 @@ def _tiny_joint_cfg():
     cfg.MVIT.SEQ_SHARD_MIN_TOKENS = 1  # every eligible block rings
     cfg.MASK.PRETRAIN_DEPTH = [5]
     cfg.MASK.PRED_HOG = False
+    cfg.MASK.MAE_RND_MASK = True  # hand-built infos: no loader masks
     cfg.CONTRASTIVE.DIM = 8
     cfg.CONTRASTIVE.MLP_DIM = 16
     cfg.CONTRASTIVE.NUM_MLP_LAYERS = 2
     cfg.DATA.NUM_FRAMES = 4
     cfg.DATA.TRAIN_CROP_SIZE = 16
+    cfg.DATA.TEST_CROP_SIZE = 16
     cfg.AUG.TARGET_SIZE = 16
     cfg.DATA.BATCHSIZE_PER_GPU = 1
     cfg.TPU.COMPUTE_DTYPE = "float32"

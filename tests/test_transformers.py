@@ -158,6 +158,9 @@ def test_maskmvit_variants(variant):
     cfg.MASK.ENABLE = True
     cfg.MASK.PRETRAIN_DEPTH = [3]
     cfg.AUG.MASK_RATIO = 0.5
+    # exercise the in-model random-mask path here; the loader-mask path
+    # (MAE_RND_MASK=False) has its own test below
+    cfg.MASK.MAE_RND_MASK = True
     if variant == "mae":
         cfg.MASK.MAE_ON = True
         cfg.MVIT.CLS_EMBED_ON = False
@@ -199,6 +202,7 @@ def test_maskmvit_rev_intermediates():
         "MVIT.DROPPATH_RATE": 0.0,
         "MODEL.MODEL_NAME": "MaskMViT",
         "MASK.ENABLE": True,
+        "MASK.MAE_RND_MASK": True,
         "AUG.MASK_RATIO": 0.5,
     }
     cfg = _mvit_cfg(**base)
