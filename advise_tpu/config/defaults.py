@@ -860,21 +860,13 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
         "decode/ingest pipeline is RGB (C=3)"
     )
     if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
-        # reference contrastive.py:56-58 builds num_crops (the SimCLR
-        # multi-crop positive-mask count, :806-845) from these keys;
-        # only the 2-view NT-Xent is implemented here. Other algorithms
-        # never consume num_crops, so the keys are unconstrained there.
-        if cfg.CONTRASTIVE.TYPE == "simclr":
-            ncrops = (
-                cfg.DATA.TRAIN_CROP_NUM_TEMPORAL
-                * cfg.DATA.TRAIN_CROP_NUM_SPATIAL
-            )
-            assert ncrops == 2 == cfg.DATA.NUM_CLIP, (
-                f"simclr: DATA.TRAIN_CROP_NUM_TEMPORAL*SPATIAL={ncrops} "
-                f"with NUM_CLIP={cfg.DATA.NUM_CLIP}; only the 2-view "
-                "NT-Xent (num_crops=2) is implemented (reference "
-                "multi-crop masks: contrastive.py:806-845)"
-            )
+        # DATA.TRAIN_CROP_NUM_TEMPORAL/SPATIAL feed only the SimCLR
+        # multi-crop positive-mask precompute (reference contrastive.py
+        # :56-58, :806-845) — whose consuming branch is DEAD: the
+        # reference hardcodes `distributed_loss = False` at :748, so its
+        # live simclr path is exactly the 2-view cat_across_gpus NT-Xent
+        # implemented here. The keys therefore stay unconstrained, as in
+        # the reference (waived in scripts/scan_dead_knobs.py).
         # reference contrastive.py:1099-1105: the MoCo queue length must
         # divide evenly into global key batches (TRAIN.BATCH_SIZE is the
         # per-shard batch there; global = BATCH_SIZE * NUM_SHARDS)

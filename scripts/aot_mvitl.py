@@ -18,7 +18,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "")
+# CPU runtime: the chipless AOT topology client is independent of the
+# runtime backend, and auto-selecting would try to initialize the axon
+# relay — which BLOCKS whenever another process holds the chip
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 
 def main():
@@ -29,9 +32,14 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="shrink the model (plumbing smoke, not the cert)")
     ap.add_argument("--opts", nargs="*", default=[])
+    ap.add_argument("--lower-only", action="store_true",
+                    help="stop after StableHLO lowering (fast geometry "
+                    "check; skips the TPU compile + memory analysis)")
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update("jax_platforms", "cpu")  # sitecustomize pre-imports
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import topologies
@@ -138,6 +146,9 @@ def main():
 
     print("lowering...")
     lowered = step.lower(state, clips, infos, rng, lr)
+    if args.lower_only:
+        print("LOWERED OK (geometry valid); skipping compile")
+        return 0
     print("compiling (chipless TPU AOT)...")
     compiled = lowered.compile()
     ma = compiled.memory_analysis()

@@ -51,6 +51,11 @@ WAIVED = {
     "effectively dead in the reference too",
     "MODEL.LOSS_FUNC": "reference reads it only in a COMMENTED-OUT "
     "assert (contrastive.py:63); loss dispatch is per-task",
+    "DATA.TRAIN_CROP_NUM_TEMPORAL": "feeds only the SimCLR multi-crop "
+    "pos-mask precompute whose consuming branch is dead (reference "
+    "contrastive.py:748 hardcodes distributed_loss=False; the live "
+    "branch is the 2-view NT-Xent implemented here)",
+    "DATA.TRAIN_CROP_NUM_SPATIAL": "see DATA.TRAIN_CROP_NUM_TEMPORAL",
     "DETECTION.ENABLE": "reference models read it but the fork has no "
     "detection task/dataset/head wiring (AVA pathway dead, SURVEY §2.7)",
     "MULTIGRID.LONG_CYCLE": "no multigrid trainer in the fork "

@@ -171,3 +171,27 @@ def test_dead_knob_scan_clean():
         capture_output=True, text=True, timeout=300,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_aot_mvitl_tiny_lowers():
+    """The chipless TPU-AOT certification plumbing (scripts/aot_mvitl.py)
+    stays green at tiny shape: topology devices, abstract-state tracing
+    and StableHLO lowering (the stage that caught 4 of the 5 r4 geometry
+    bugs). The REAL-shape compile + memory analysis (260.8M params,
+    32x312: 13.26G/chip, FITS — BASELINE r4) runs the same code path
+    without --tiny/--lower-only."""
+    import subprocess
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v for k, v in os.environ.items() if k != "XLA_FLAGS"
+    }
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "aot_mvitl.py"),
+         "--tiny", "--lower-only"],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=root,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "LOWERED OK" in proc.stdout, proc.stdout
