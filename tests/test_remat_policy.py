@@ -127,3 +127,31 @@ def test_aug_compute_out_bitexact(aug_type):
         np.asarray(off.astype(jnp.bfloat16), np.float32),
         np.asarray(on, np.float32),
     )
+
+
+def test_syncbn_bf16_normalize_parity():
+    """The r4 BN dtype change (stats in f32, normalize FMA in the input
+    dtype) must stay within one bf16 rounding of the all-f32 reference
+    formulation, and be BIT-identical for f32 inputs."""
+    from advise_tpu.models.layers.norm import SyncBatchNorm
+
+    rng = np.random.default_rng(0)
+    x64 = rng.normal(2.0, 3.0, (4, 2, 6, 6, 8))
+    bn = SyncBatchNorm()
+    v = bn.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x64, jnp.float32), True)
+
+    def run(xdt):
+        y, _ = bn.apply(
+            v, jnp.asarray(x64, xdt), True, mutable=["batch_stats"]
+        )
+        return np.asarray(y, np.float64)
+
+    y32 = run(jnp.float32)
+    # f32 reference computed fully in f64 for ground truth
+    mean = x64.mean((0, 1, 2, 3))
+    var = x64.var((0, 1, 2, 3))
+    ref = (x64 - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(y32, ref, rtol=2e-5, atol=2e-5)
+    y16 = run(jnp.bfloat16)
+    # bf16 has ~2^-8 relative precision; the FMA adds one rounding
+    np.testing.assert_allclose(y16, ref, rtol=0.03, atol=0.03)
