@@ -26,6 +26,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default="configs/pretrain/MViT_L_32x312_joint.yaml",
+                    help="preset to certify (any task)")
     ap.add_argument("--topology", default="v5e:4x8",
                     help="chipless target topology (32 chips default)")
     ap.add_argument("--seq", type=int, default=8, help="TPU.MESH_SEQ")
@@ -61,11 +63,10 @@ def main():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = get_cfg()
-    cfg.merge_from_file(
-        os.path.join(root, "configs/pretrain/MViT_L_32x312_joint.yaml")
-    )
+    cfg.merge_from_file(os.path.join(root, args.cfg))
     cfg.NUM_GPUS = n
-    cfg.TPU.MESH_SEQ = args.seq
+    if cfg.TPU.MESH_SEQ and cfg.TPU.MESH_SEQ > 1:
+        cfg.TPU.MESH_SEQ = args.seq
     cfg.DATA.DECODE_BACKEND = "synthetic"
     if args.tiny:
         cfg.MVIT.EMBED_DIM = 8
@@ -122,11 +123,20 @@ def main():
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
         )
 
+    ssl = {}
+    if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
+        from advise_tpu.engine.contrastive import init_ssl_state
+
+        ssl = sds(jax.eval_shape(
+            lambda p, bs: init_ssl_state(cfg, p, bs, jax.random.PRNGKey(7)),
+            param_shapes, var_shapes.get("batch_stats", {}),
+        ))
     state = TrainState(
         params=sds(param_shapes),
         batch_stats=sds(var_shapes.get("batch_stats", {})),
         opt_state=sds(opt_shapes),
         step=jax.ShapeDtypeStruct((), jnp.int32),
+        ssl=ssl,
     )
 
     b = cfg.NUM_WORLDS * cfg.DATA.BATCHSIZE_PER_GPU  # global batch
@@ -134,6 +144,9 @@ def main():
     w_in, h_in = ingest_geometry(cfg, "train")
     clips = jax.ShapeDtypeStruct((b, k, t, h_in, w_in, 3), jnp.uint8)
     infos = {}
+    if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
+        infos["item_id"] = jax.ShapeDtypeStruct((b,), jnp.int32)
+        infos["time_idx"] = jax.ShapeDtypeStruct((b,), jnp.float32)
     if cfg.TASK == "masked" and not cfg.MASK.MAE_RND_MASK:
         pt, ph, pw = cfg.MVIT.PATCH_STRIDE
         grid = (max(t // pt, 1), s // ph, s // pw)
@@ -144,8 +157,11 @@ def main():
     aug = build_device_aug(cfg, "train")
     step = make_train_step(cfg, mesh, model, bundle, aug)
 
+    extra = ()
+    if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
+        extra = (jax.ShapeDtypeStruct((), jnp.float32),)  # epoch_exact
     print("lowering...")
-    lowered = step.lower(state, clips, infos, rng, lr)
+    lowered = step.lower(state, clips, infos, rng, lr, *extra)
     if args.lower_only:
         print("LOWERED OK (geometry valid); skipping compile")
         return 0
