@@ -147,6 +147,10 @@ def main():
     if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
         infos["item_id"] = jax.ShapeDtypeStruct((b,), jnp.int32)
         infos["time_idx"] = jax.ShapeDtypeStruct((b,), jnp.float32)
+    if cfg.TASK == "speed" or (
+        cfg.TASK == "tmodeling" and "speed" in cfg.SSL.TASK
+    ):
+        infos["spd_label"] = jax.ShapeDtypeStruct((b, k), jnp.int32)
     if cfg.TASK == "masked" and not cfg.MASK.MAE_RND_MASK:
         pt, ph, pw = cfg.MVIT.PATCH_STRIDE
         grid = (max(t // pt, 1), s // ph, s // pw)
