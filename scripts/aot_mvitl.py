@@ -151,6 +151,8 @@ def main():
         cfg.TASK == "tmodeling" and "speed" in cfg.SSL.TASK
     ):
         infos["spd_label"] = jax.ShapeDtypeStruct((b, k), jnp.int32)
+    if cfg.TASK == "action_recog":
+        infos["cls_id"] = jax.ShapeDtypeStruct((b,), jnp.int32)
     if cfg.TASK == "masked" and not cfg.MASK.MAE_RND_MASK:
         pt, ph, pw = cfg.MVIT.PATCH_STRIDE
         grid = (max(t // pt, 1), s // ph, s // pw)

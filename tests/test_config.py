@@ -195,3 +195,26 @@ def test_aot_mvitl_tiny_lowers():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "LOWERED OK" in proc.stdout, proc.stdout
+
+
+def test_aot_certifier_speed_task_lowers():
+    """The generalized certifier's task-specific infos (spd_label for
+    TASK=speed — the branch that certified SpeedPro/X3D/AdViSe at pod
+    scale, BASELINE r4) lower against a chipless topology using the tiny
+    speed smoke preset."""
+    import subprocess
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v for k, v in os.environ.items() if k != "XLA_FLAGS"
+    }
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "aot_mvitl.py"),
+         "--cfg", "configs/smoke/speed_r18_synth.yaml",
+         "--seq", "1", "--lower-only"],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=root,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "LOWERED OK" in proc.stdout, proc.stdout
