@@ -317,3 +317,105 @@ def test_mvit_rev_o1_scan_memory_win():
 
     scan_b, loop_b = temp_bytes(True), temp_bytes(False)
     assert scan_b < 0.25 * loop_b, (scan_b, loop_b)
+
+
+def _rev_cfg(**over):
+    base = {
+        "MVIT.REV.ENABLE": True,
+        "MVIT.CLS_EMBED_ON": False,
+        "MVIT.DEPTH": 6,
+        "MVIT.DIM_MUL": [[2, 2.0]],
+        "MVIT.HEAD_MUL": [[2, 2.0]],
+        "MVIT.POOL_Q_STRIDE": [[2, 1, 2, 2]],
+        "MVIT.DROPPATH_RATE": 0.0,
+    }
+    base.update(over)
+    return _mvit_cfg(**base)
+
+
+def test_rev_buffer_layers_force_stage_transitions():
+    """MVIT.REV.BUFFER_LAYERS (reference reversible_mvit.py:89) forces a
+    listed layer out of its reversible segment into a buffered
+    StageTransitionBlock: the param tree gains a ``blocks_<i>`` module
+    and the surrounding uniform segment splits."""
+    cfg = _rev_cfg()
+    _, v, out = _run(cfg)
+    names = set(v["params"])
+    # structural transitions: dim change at 1, Q-pool at 2
+    assert "blocks_1" in names and "blocks_2" in names
+    assert "blocks_4" not in names
+
+    def seg_lens(params):
+        # each reversible segment stores stacked F and G param trees
+        # (rev_seg<i>_f / rev_seg<i>_g) with the block count leading
+        lens = []
+        for k, sub in params.items():
+            if k.startswith("rev_seg"):
+                lens.append(jax.tree_util.tree_leaves(sub)[0].shape[0])
+        return sorted(lens)
+
+    # baseline: uniform segments [0,1) and [3,6)
+    assert seg_lens(v["params"]) == [1, 1, 3, 3]
+
+    cfg_b = _rev_cfg(**{"MVIT.REV.BUFFER_LAYERS": [4]})
+    _, v_b, out_b = _run(cfg_b)
+    names_b = set(v_b["params"])
+    assert "blocks_4" in names_b  # forced buffer layer
+    # [3,6) split into [3,4) and [5,6): every segment now single-block
+    assert seg_lens(v_b["params"]) == [1, 1, 1, 1, 1, 1]
+    assert np.isfinite(np.asarray(out_b)).all()
+
+
+def test_rev_res_path_and_pre_q_fusion_semantics():
+    """RES_PATH 'conv' (residual pooled through the attention's own
+    pool_q conv+norm, reference :343,385-410) vs 'max' (stride+1 maxpool
+    skip, :345-352) and PRE_Q_FUSION 'avg' vs 'max' (:46) are parameter-
+    free structural switches: identical param trees, different outputs,
+    finite gradients through the transition block."""
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 4, 32, 32, 3)).astype(np.float32)
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+
+    def make(**over):
+        return build_model(_rev_cfg(**over), sync_axes=())
+
+    m_conv = make(**{"MVIT.REV.RES_PATH": "conv"})
+    v = m_conv.init(rngs, x, train=False)
+    out_conv = m_conv.apply(v, x, train=False)
+
+    # same tree (both residual paths are weight-sharing / parameterless)
+    m_max = make(**{"MVIT.REV.RES_PATH": "max"})
+    v_max = jax.eval_shape(lambda: m_max.init(rngs, x, train=False))
+    assert (
+        jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_max)
+    )
+    out_max = m_max.apply(v, x, train=False)
+    assert not np.allclose(np.asarray(out_conv), np.asarray(out_max))
+
+    # pre-q fusion applies to the two (diverged) reversible streams
+    m_avg = make(**{"MVIT.REV.PRE_Q_FUSION": "avg"})
+    m_fmax = make(**{"MVIT.REV.PRE_Q_FUSION": "max"})
+    o_avg = m_avg.apply(v, x, train=False)
+    o_fmax = m_fmax.apply(v, x, train=False)
+    assert not np.allclose(np.asarray(o_avg), np.asarray(o_fmax))
+
+    def loss(p):
+        out = m_conv.apply(
+            {"params": p}, x, train=True,
+            rngs={"dropout": jax.random.PRNGKey(7)},
+        )
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(v["params"])
+    leaves = jax.tree_util.tree_leaves(g["blocks_2"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_rev_pre_q_fusion_concat_rejected():
+    """The dim-doubling 'concat*' pre-q fusion modes are rejected loudly
+    (assert_and_infer_cfg) rather than silently mis-shaping the stage."""
+    cfg = _rev_cfg(**{"MVIT.REV.PRE_Q_FUSION": "concat_linear"})
+    with pytest.raises(AssertionError, match="PRE_Q_FUSION"):
+        assert_and_infer_cfg(cfg)
