@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--lower-only", action="store_true",
                     help="stop after StableHLO lowering (fast geometry "
                     "check; skips the TPU compile + memory analysis)")
+    ap.add_argument("--cost", action="store_true",
+                    help="also print the executable's cost analysis "
+                    "(flops, bytes accessed) and the v5e roofline floors")
     args = ap.parse_args()
 
     import jax
@@ -194,6 +197,23 @@ def main():
         f"TOTAL {total / gib:.3f}G vs budget 15.75G -> "
         f"{'FITS' if total <= budget else 'OVER by %.2fG' % ((total - budget) / gib)}"
     )
+    if args.cost:
+        # Roofline floors from the compiled executable's own cost model:
+        # the HBM floor (bytes the program touches / peak bandwidth) is
+        # the speed-of-light for a bandwidth-bound step; the MXU floor is
+        # flops / bf16 peak. v5e: 819 GB/s HBM, 197 TFLOP/s bf16.
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        hbm_ms = byts / 819e9 * 1e3
+        mxu_ms = flops / 197e12 * 1e3
+        print(
+            f"cost: flops={flops / 1e12:.2f}T bytes_accessed="
+            f"{byts / gib:.2f}G -> HBM floor {hbm_ms:.1f} ms, "
+            f"MXU floor {mxu_ms:.1f} ms (v5e 819GB/s / 197TF bf16)"
+        )
     return 0 if total <= budget else 2
 
 
