@@ -52,6 +52,17 @@ _C.TPU.MESH_SYNC = 1
 # attention blocks shard tokens and run ring attention over it — the
 # pod-scale long-clip path, BASELINE.json config #5)
 _C.TPU.MESH_SEQ = 1
+# pipeline-parallel axis size (>1 adds an inner 'pipe' mesh axis:
+# reversible-MViT uniform segments run GPipe-style — stage s holds
+# blocks [s*L/P,(s+1)*L/P), microbatches stream between stages over ICI
+# ppermute; parallel/pipeline.py). Batch is replicated along 'pipe'.
+# Requires MVIT.REV.ENABLE on the shard_map path (MViT / MaskFeat-mode
+# MaskMViT); every reversible segment's length must divide by it.
+_C.TPU.MESH_PIPE = 1
+# microbatches streamed through the pipe (0 = MESH_PIPE). More
+# microbatches shrink the (P-1)/(M+P-1) fill bubble at the cost of
+# smaller per-tick GEMMs; the per-device batch must divide by it.
+_C.TPU.PIPE_MICROBATCH = 0
 
 # Partitioning strategy for the train step.
 #  'shard_map' (default): explicit SPMD — jit(shard_map(step)) over the
@@ -779,6 +790,33 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
         assert cfg.TPU.MESH_MODEL in (1, None) and not cfg.TPU.FSDP, (
             "TPU.MESH_MODEL/FSDP (tensor/fully-sharded parallelism) "
             "require TPU.PARTITION_MODE 'auto'"
+        )
+    if int(cfg.TPU.MESH_PIPE or 1) > 1:
+        # pipeline parallelism (parallel/pipeline.py) pipelines the
+        # reversible segments; reject unsupported combinations loudly
+        assert cfg.TPU.PARTITION_MODE == "shard_map", (
+            "TPU.MESH_PIPE requires PARTITION_MODE 'shard_map' (the pipe "
+            "schedule is explicit ppermute SPMD); in auto mode use "
+            "TPU.MESH_MODEL/FSDP instead"
+        )
+        assert cfg.MVIT.REV.ENABLE, (
+            "TPU.MESH_PIPE pipelines the reversible-MViT uniform "
+            "segments — set MVIT.REV.ENABLE=True (MViT or MaskFeat-mode "
+            "MaskMViT)"
+        )
+        assert cfg.MODEL.MODEL_NAME in ("MViT", "MaskMViT"), (
+            f"TPU.MESH_PIPE supports MViT/MaskMViT, not "
+            f"{cfg.MODEL.MODEL_NAME}"
+        )
+        assert not (cfg.MODEL.MODEL_NAME == "MaskMViT" and cfg.MASK.MAE_ON), (
+            "TPU.MESH_PIPE: the MAE branch builds non-reversible blocks "
+            "(reference masked.py MAE path); use the MaskFeat branch or "
+            "MESH_PIPE=1"
+        )
+        assert int(cfg.TPU.MESH_SEQ or 1) == 1, (
+            "TPU.MESH_PIPE and TPU.MESH_SEQ are mutually exclusive for "
+            "now (ring attention shards tokens inside the blocks the "
+            "pipe schedule streams)"
         )
     if cfg.CONTRASTIVE.SEQUENTIAL:
         # per-clip micro-batching (reference contrastive_forward

@@ -182,6 +182,9 @@ class MaskMViT(nn.Module):
     cfg: Any  # CfgRef
     norm: Any
     dtype: Optional[jnp.dtype] = None
+    # threaded to the inner MViT encoder (pipeline-parallel reversible
+    # segments over the 'pipe' mesh axis; see models/mvit.py)
+    pipeline: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
@@ -250,6 +253,7 @@ class MaskMViT(nn.Module):
             include_head=False,
             depth_override=pretrain_depth[-1] + 1,
             return_intermediate=tuple(pretrain_depth),
+            pipeline=self.pipeline,
             name="encoder",
         )
         inter = encoder(

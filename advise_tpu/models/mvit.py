@@ -44,6 +44,11 @@ from advise_tpu.models.utils import (
     round_width,
 )
 from advise_tpu.parallel.mesh import SEQ_AXIS
+from advise_tpu.parallel.pipeline import (
+    gpipe,
+    stage_slice,
+    sync_cotangents,
+)
 from advise_tpu.parallel.reversible import reversible_block_scan
 
 
@@ -428,6 +433,11 @@ class MViT(nn.Module):
     # masked-pretrain hooks (used by MaskMViT)
     depth_override: Optional[int] = None
     return_intermediate: Tuple[int, ...] = ()
+    # pipeline-parallel execution of the reversible segments over the
+    # 'pipe' mesh axis (TPU.MESH_PIPE > 1). Only the in-step model sets
+    # this (build_model sync_axes contract): init and any outside-mesh
+    # apply run the plain segment so the param tree is always full-size.
+    pipeline: bool = False
 
     def _rev_segment(self, spec, seg_id, seg_len, rates, x1, x2, train):
         """Run one uniform reversible segment of ``seg_len`` F/G-coupled
@@ -479,6 +489,50 @@ class MViT(nn.Module):
                 rngs={"dropout": k_drop} if train else None,
             )
             return _drop_path_fn(out, p["rate"], k_path, train)
+
+        pipe = int(getattr(cfg.TPU, "MESH_PIPE", 1) or 1)
+        if pipe > 1 and self.pipeline and seg_len % pipe == 0:
+            # GPipe over the 'pipe' mesh axis (parallel/pipeline.py):
+            # stage s runs blocks [s*L/P, (s+1)*L/P) — the O(1)
+            # reversible scan inside each stage — while microbatches
+            # stream through via ppermute. sync_cotangents makes every
+            # gradient leave the segment replicated across 'pipe'.
+            # Segments whose length does not divide by pipe (short
+            # boundary segments around stage transitions) fall through to
+            # the plain path below — replicated compute, still correct.
+            n_micro = int(getattr(cfg.TPU, "PIPE_MICROBATCH", 0) or 0)
+            if n_micro <= 0:
+                # default: as many microbatches as stages (smallest
+                # bubble at full utilization), capped by what divides
+                # the per-device batch
+                rows = x1.shape[0]
+                n_micro = max(
+                    d for d in range(1, min(pipe, rows) + 1)
+                    if rows % d == 0
+                )
+            p_stack, c_stack, x1, x2 = sync_cotangents(
+                (p_stack, c_stack, x1, x2)
+            )
+            p_loc = stage_slice(p_stack, pipe)
+            c_loc = stage_slice(c_stack, pipe)
+            l_local = seg_len // pipe
+
+            def stage(pair):
+                a1, a2 = pair
+                if cfg.MVIT.REV.O1_SCAN:
+                    return reversible_block_scan(
+                        f_fn, g_fn, p_loc, c_loc, a1, a2
+                    )
+                for k in range(l_local):
+                    p_k = jax.tree_util.tree_map(lambda a: a[k], p_loc)
+                    c_k = jax.tree_util.tree_map(lambda a: a[k], c_loc)
+                    b1 = a1 + f_fn(p_k, c_k, a2)
+                    b2 = a2 + g_fn(p_k, c_k, b1)
+                    a1, a2 = b1, b2
+                return a1, a2
+
+            return gpipe((lambda pair: stage(pair)), (x1, x2),
+                         n_stage=pipe, n_micro=n_micro)
 
         if cfg.MVIT.REV.O1_SCAN:
             return reversible_block_scan(f_fn, g_fn, p_stack, c_stack, x1, x2)

@@ -34,6 +34,9 @@ SYNC_AXIS = "sync"
 # Sequence-parallel axis (TPU.MESH_SEQ > 1): attention token dim shards
 # here via ring attention; batch is replicated along it.
 SEQ_AXIS = "seq"
+# Pipeline-parallel axis (TPU.MESH_PIPE > 1): reversible-MViT segments
+# run GPipe-style over it (parallel/pipeline.py); batch replicated.
+from advise_tpu.parallel.pipeline import PIPE_AXIS  # noqa: E402
 # Tensor-parallel axis (TPU.PARTITION_MODE='auto' + TPU.MESH_MODEL > 1):
 # attention heads / MLP hidden shard here via GSPMD param shardings.
 MODEL_AXIS = "model"
@@ -74,6 +77,10 @@ def mesh_shape(cfg, n_devices: Optional[int] = None) -> Tuple[int, int]:
     if seq > 1:
         assert n % seq == 0, (n, seq)
         n = n // seq
+    pipe = max(int(getattr(cfg.TPU, "MESH_PIPE", 1) or 1), 1)
+    if pipe > 1:
+        assert n % pipe == 0, (n, pipe)
+        n = n // pipe
     if cfg.BN.GLOBAL_SYNC:
         sync = n
     else:
@@ -127,6 +134,17 @@ def build_mesh(cfg, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
         return Mesh(
             devs.reshape(data, sync, seq), (DATA_AXIS, SYNC_AXIS, SEQ_AXIS)
         )
+    pipe = max(int(getattr(cfg.TPU, "MESH_PIPE", 1) or 1), 1)
+    if pipe > 1:
+        # innermost = pipe so the stage-to-stage ppermute ring rides
+        # directly-wired ICI neighbors
+        logger.info(
+            "Mesh: data=%d sync=%d pipe=%d over %d devices",
+            data, sync, pipe, devs.size,
+        )
+        return Mesh(
+            devs.reshape(data, sync, pipe), (DATA_AXIS, SYNC_AXIS, PIPE_AXIS)
+        )
     logger.info("Mesh: data=%d sync=%d over %d devices", data, sync, devs.size)
     return Mesh(devs.reshape(data, sync), (DATA_AXIS, SYNC_AXIS))
 
@@ -153,7 +171,9 @@ def batch_device_count(cfg, n_devices: Optional[int] = None) -> int:
     if getattr(cfg.TPU, "PARTITION_MODE", "shard_map") == "auto":
         rep = max(int(getattr(cfg.TPU, "MESH_MODEL", 1) or 1), 1)
     else:
-        rep = max(int(getattr(cfg.TPU, "MESH_SEQ", 1) or 1), 1)
+        rep = max(int(getattr(cfg.TPU, "MESH_SEQ", 1) or 1), 1) * max(
+            int(getattr(cfg.TPU, "MESH_PIPE", 1) or 1), 1
+        )
     assert n % rep == 0, (n, rep)
     return n // rep
 
