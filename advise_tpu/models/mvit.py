@@ -173,6 +173,34 @@ def _pooled_thw(thw, kernel, stride):
     )
 
 
+def _uniform_segment_lengths(schedule, buffer_layers):
+    """Lengths of the uniform reversible segments (mirrors the grouping
+    walk in MViT.__call__'s rev branch)."""
+    import math as _math
+
+    lengths = []
+    i = 0
+    while i < len(schedule):
+        spec = schedule[i]
+        uniform = spec["dim"] == spec["dim_out"] and (
+            len(spec["stride_q"]) == 0
+            or _math.prod(spec["stride_q"]) == 1
+        ) and i not in buffer_layers
+        if not uniform:
+            i += 1
+            continue
+        j = i
+        while (
+            j < len(schedule)
+            and schedule[j] == spec
+            and j not in buffer_layers
+        ):
+            j += 1
+        lengths.append(j - i)
+        i = j
+    return lengths
+
+
 def _seg_sub_modules(cfg, spec, dtype):
     """Construct the (unbound) F/G sub-block modules for a uniform
     segment's spec."""
@@ -733,6 +761,19 @@ class MViT(nn.Module):
                     intermediates.append((feat, thw))
                 seg_id += 1
                 i = j
+            pipe = int(getattr(cfg.TPU, "MESH_PIPE", 1) or 1)
+            if pipe > 1 and self.pipeline:
+                # loud no-op guard (the project's dead-knob rule): if NO
+                # segment length divides by the stage count, the whole
+                # "pipelined" model would silently run replicated
+                seg_lens = _uniform_segment_lengths(schedule, buffer_layers)
+                assert any(l % pipe == 0 and l >= pipe for l in seg_lens), (
+                    f"TPU.MESH_PIPE={pipe} divides none of the reversible "
+                    f"segment lengths {seg_lens} — every segment would "
+                    "fall back to replicated compute. Pick a pipe size "
+                    "that divides a segment, or force a split with "
+                    "MVIT.REV.BUFFER_LAYERS"
+                )
             if self.return_intermediate:
                 return intermediates
             x = jnp.concatenate([x1, x2], axis=-1)

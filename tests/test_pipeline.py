@@ -256,6 +256,21 @@ def test_short_segments_fall_back():
 # ---------------------------------------------------------------------------
 
 
+def test_pipe_divides_no_segment_is_loud():
+    """If NO reversible segment length divides by MESH_PIPE, the model
+    must reject at trace time instead of silently running replicated."""
+    devs = jax.devices()[:8]
+    cfg = _mask_cfg(4)
+    cfg.MVIT.DEPTH = 7  # one 7-block segment: 7 % 4 != 0
+    cfg.MASK.PRETRAIN_DEPTH = [6]
+    rng = np.random.default_rng(2)
+    clips = jnp.asarray(
+        rng.normal(size=(4, 1, 4, 32, 32, 3)).astype(np.float32)
+    )
+    with pytest.raises(AssertionError, match="divides none"):
+        _run_step(cfg, devs, clips)
+
+
 def test_pipe_validation_rejections():
     cfg = _mask_cfg(1)
     cfg.TPU.MESH_PIPE = 2
