@@ -84,9 +84,13 @@ def main():
         cfg.MVIT.SEQ_SHARD_MIN_TOKENS = 256
     cfg.DATA.TRAIN_CROP_SIZE = cfg.AUG.TARGET_SIZE
     cfg.DATA.TEST_CROP_SIZE = cfg.AUG.TARGET_SIZE
-    cfg.NUM_WORLDS = n // max(args.seq, 1)
     if args.opts:
         cfg.merge_from_list(args.opts)
+    # batch-carrying devices: total minus the batch-replicating axes
+    # (seq/pipe under shard_map, model under auto) — mesh.py owns the rule
+    from advise_tpu.parallel.mesh import batch_device_count
+
+    cfg.NUM_WORLDS = batch_device_count(cfg, n)
     cfg = assert_and_infer_cfg(cfg)
 
     mesh = build_mesh(cfg, devices=devices)
