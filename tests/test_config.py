@@ -173,6 +173,31 @@ def test_dead_knob_scan_clean():
     assert proc.returncode == 0, proc.stdout + proc.stderr
 
 
+def _run_aot(args, timeout=1200):
+    """Run the AOT certifier subprocess; retry once if another process
+    holds the libtpu multi-process lockfile (concurrent pod compiles —
+    the topology init is a machine-wide critical section)."""
+    import subprocess
+    import sys
+    import os
+    import time
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    cmd = [sys.executable, os.path.join(root, "scripts", "aot_mvitl.py")]
+    for attempt in range(2):
+        proc = subprocess.run(
+            cmd + args, capture_output=True, text=True, timeout=timeout,
+            env=env, cwd=root,
+        )
+        if proc.returncode == 0 or "libtpu multi-process lockfile" not in (
+            proc.stdout + proc.stderr
+        ):
+            return proc
+        time.sleep(60)
+    return proc
+
+
 def test_aot_mvitl_tiny_lowers():
     """The chipless TPU-AOT certification plumbing (scripts/aot_mvitl.py)
     stays green at tiny shape: topology devices, abstract-state tracing
@@ -180,19 +205,7 @@ def test_aot_mvitl_tiny_lowers():
     bugs). The REAL-shape compile + memory analysis (260.8M params,
     32x312: 13.26G/chip, FITS — BASELINE r4) runs the same code path
     without --tiny/--lower-only."""
-    import subprocess
-    import sys
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = {
-        k: v for k, v in os.environ.items() if k != "XLA_FLAGS"
-    }
-    proc = subprocess.run(
-        [sys.executable, os.path.join(root, "scripts", "aot_mvitl.py"),
-         "--tiny", "--lower-only"],
-        capture_output=True, text=True, timeout=1200, env=env, cwd=root,
-    )
+    proc = _run_aot(["--tiny", "--lower-only"])
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "LOWERED OK" in proc.stdout, proc.stdout
 
@@ -202,19 +215,7 @@ def test_aot_certifier_speed_task_lowers():
     TASK=speed — the branch that certified SpeedPro/X3D/AdViSe at pod
     scale, BASELINE r4) lower against a chipless topology using the tiny
     speed smoke preset."""
-    import subprocess
-    import sys
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = {
-        k: v for k, v in os.environ.items() if k != "XLA_FLAGS"
-    }
-    proc = subprocess.run(
-        [sys.executable, os.path.join(root, "scripts", "aot_mvitl.py"),
-         "--cfg", "configs/smoke/speed_r18_synth.yaml",
-         "--seq", "1", "--lower-only"],
-        capture_output=True, text=True, timeout=1200, env=env, cwd=root,
-    )
+    proc = _run_aot(["--cfg", "configs/smoke/speed_r18_synth.yaml",
+                     "--seq", "1", "--lower-only"])
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "LOWERED OK" in proc.stdout, proc.stdout
