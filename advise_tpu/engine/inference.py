@@ -21,6 +21,7 @@ import numpy as np
 from advise_tpu.data import build_dataset, build_device_aug
 from advise_tpu.engine.steps import make_eval_step
 from advise_tpu.parallel import build_mesh
+from advise_tpu.parallel.mesh import mesh_batch_axes
 
 logger = logging.getLogger(__name__)
 
@@ -32,7 +33,11 @@ def inference(cfg, model, state, mesh=None, max_videos: Optional[int] = None):
     aug = build_device_aug(cfg, "action")
     eval_step = make_eval_step(cfg, mesh, model, aug)
 
-    n_dev = int(mesh.devices.size)
+    # batch-carrying devices only (see validate.py: replicating axes
+    # like 'model'/'seq'/'pipe' must not inflate the per-chip batch)
+    n_dev = int(
+        np.prod([mesh.shape[a] for a in mesh_batch_axes(mesh)])
+    )
     views = cfg.INFER.NUM_CLIPS * cfg.INFER.NUM_CROPS
     # videos per batch: keep the flattened view count mesh-divisible
     vids_per_batch = max(n_dev // max(views, 1), 1) * max(

@@ -21,6 +21,7 @@ import numpy as np
 from advise_tpu.data import build_dataset, build_device_aug, ingest_geometry
 from advise_tpu.engine.steps import make_eval_step
 from advise_tpu.parallel import build_mesh
+from advise_tpu.parallel.mesh import mesh_batch_axes
 
 logger = logging.getLogger(__name__)
 
@@ -33,7 +34,12 @@ def validation(cfg, model, state, mesh=None, max_videos: Optional[int] = None):
     aug = build_device_aug(cfg, "speed")
     eval_step = make_eval_step(cfg, mesh, model, aug)
 
-    n_dev = int(mesh.devices.size)
+    # batch-CARRYING devices only: 'model'/'seq'/'pipe' axes replicate
+    # the batch, so sizing by the full device count would feed each
+    # batch device that many times its configured per-chip eval batch
+    n_dev = int(
+        np.prod([mesh.shape[a] for a in mesh_batch_axes(mesh)])
+    )
     chunk = max(cfg.VAL.BATCHSIZE_PER_GPU, 1) * n_dev
 
     confusion = np.zeros((n_labels, n_labels), np.int64)

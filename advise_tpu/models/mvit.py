@@ -22,6 +22,7 @@ oracle for the custom VJP.
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Any, List, Optional, Tuple
 
@@ -171,34 +172,6 @@ def _pooled_thw(thw, kernel, stride):
         (n + 2 * (k // 2) - k) // s + 1
         for n, k, s in zip(thw, kernel, stride)
     )
-
-
-def _uniform_segment_lengths(schedule, buffer_layers):
-    """Lengths of the uniform reversible segments (mirrors the grouping
-    walk in MViT.__call__'s rev branch)."""
-    import math as _math
-
-    lengths = []
-    i = 0
-    while i < len(schedule):
-        spec = schedule[i]
-        uniform = spec["dim"] == spec["dim_out"] and (
-            len(spec["stride_q"]) == 0
-            or _math.prod(spec["stride_q"]) == 1
-        ) and i not in buffer_layers
-        if not uniform:
-            i += 1
-            continue
-        j = i
-        while (
-            j < len(schedule)
-            and schedule[j] == spec
-            and j not in buffer_layers
-        ):
-            j += 1
-        lengths.append(j - i)
-        i = j
-    return lengths
 
 
 def _seg_sub_modules(cfg, spec, dtype):
@@ -529,15 +502,22 @@ class MViT(nn.Module):
             # boundary segments around stage transitions) fall through to
             # the plain path below — replicated compute, still correct.
             n_micro = int(getattr(cfg.TPU, "PIPE_MICROBATCH", 0) or 0)
+            rows = x1.shape[0]
             if n_micro <= 0:
-                # default: as many microbatches as stages (smallest
-                # bubble at full utilization), capped by what divides
-                # the per-device batch
-                rows = x1.shape[0]
-                n_micro = max(
-                    d for d in range(1, min(pipe, rows) + 1)
-                    if rows % d == 0
-                )
+                # default: >= one microbatch per stage when the batch
+                # allows (the fill bubble (P-1)/(M+P-1) shrinks with M;
+                # the floor on M is P so every stage fills). Prefer the
+                # SMALLEST divisor >= pipe — largest per-tick GEMMs at
+                # full fill; fall back to the largest divisor below pipe.
+                divs = [d for d in range(1, rows + 1) if rows % d == 0]
+                at_least = [d for d in divs if d >= pipe]
+                n_micro = at_least[0] if at_least else divs[-1]
+                if n_micro != pipe:
+                    logging.getLogger(__name__).info(
+                        "pipeline: PIPE_MICROBATCH auto-resolved to %d "
+                        "(pipe=%d, per-device rows=%d)",
+                        n_micro, pipe, rows,
+                    )
             p_stack, c_stack, x1, x2 = sync_cotangents(
                 (p_stack, c_stack, x1, x2)
             )
@@ -545,22 +525,29 @@ class MViT(nn.Module):
             c_loc = stage_slice(c_stack, pipe)
             l_local = seg_len // pipe
 
-            def stage(pair):
+            def stage(pair, m):
                 a1, a2 = pair
+                # independent stochastic draws per microbatch: fold the
+                # microbatch index into every block key (consts, so the
+                # reversible backward reconstructs identical values)
+                c_m = {
+                    "key": jax.vmap(jax.random.fold_in, (0, None))(
+                        c_loc["key"], m
+                    )
+                }
                 if cfg.MVIT.REV.O1_SCAN:
                     return reversible_block_scan(
-                        f_fn, g_fn, p_loc, c_loc, a1, a2
+                        f_fn, g_fn, p_loc, c_m, a1, a2
                     )
                 for k in range(l_local):
                     p_k = jax.tree_util.tree_map(lambda a: a[k], p_loc)
-                    c_k = jax.tree_util.tree_map(lambda a: a[k], c_loc)
+                    c_k = jax.tree_util.tree_map(lambda a: a[k], c_m)
                     b1 = a1 + f_fn(p_k, c_k, a2)
                     b2 = a2 + g_fn(p_k, c_k, b1)
                     a1, a2 = b1, b2
                 return a1, a2
 
-            return gpipe((lambda pair: stage(pair)), (x1, x2),
-                         n_stage=pipe, n_micro=n_micro)
+            return gpipe(stage, (x1, x2), n_stage=pipe, n_micro=n_micro)
 
         if cfg.MVIT.REV.O1_SCAN:
             return reversible_block_scan(f_fn, g_fn, p_stack, c_stack, x1, x2)
@@ -679,6 +666,7 @@ class MViT(nn.Module):
             x1, x2 = x, x
             i = 0
             seg_id = 0
+            seg_lens = []  # uniform-segment lengths, for the pipe guard
             # a layer is a (non-reversible) stage transition when its
             # spec forces it (dim change or Q-pooling) OR when the config
             # lists it in MVIT.REV.BUFFER_LAYERS (reference
@@ -742,6 +730,7 @@ class MViT(nn.Module):
                     and j not in buffer_layers
                 ):
                     j += 1
+                seg_lens.append(j - i)
                 x1, x2 = self._rev_segment(
                     spec, seg_id, j - i, dpr[i:j], x1, x2, train
                 )
@@ -765,8 +754,9 @@ class MViT(nn.Module):
             if pipe > 1 and self.pipeline:
                 # loud no-op guard (the project's dead-knob rule): if NO
                 # segment length divides by the stage count, the whole
-                # "pipelined" model would silently run replicated
-                seg_lens = _uniform_segment_lengths(schedule, buffer_layers)
+                # "pipelined" model would silently run replicated.
+                # seg_lens was recorded by the walk above — the guard can
+                # never desynchronize from what actually pipelined.
                 assert any(l % pipe == 0 and l >= pipe for l in seg_lens), (
                     f"TPU.MESH_PIPE={pipe} divides none of the reversible "
                     f"segment lengths {seg_lens} — every segment would "

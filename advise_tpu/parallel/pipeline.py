@@ -130,7 +130,7 @@ def stage_slice(stack: Any, n_stage: int, axis: str = PIPE_AXIS) -> Any:
 
 
 def gpipe(
-    stage_fn: Callable[[Any], Any],
+    stage_fn: Callable[[Any, jnp.ndarray], Any],
     x: Any,
     *,
     n_stage: int,
@@ -138,8 +138,11 @@ def gpipe(
     axis: str = PIPE_AXIS,
 ) -> Any:
     """Stream ``n_micro`` microbatches of ``x`` through ``n_stage``
-    pipeline stages, each applying ``stage_fn`` (this stage's local
-    blocks — shape-preserving).
+    pipeline stages, each applying ``stage_fn(microbatch, m)`` (this
+    stage's local blocks — shape-preserving). ``m`` is the traced
+    microbatch index currently held by this stage — stochastic layers
+    MUST fold it into their RNG so each microbatch draws independent
+    masks (the stage function runs once per tick for every microbatch).
 
     ``x``: pytree of arrays sharing leading batch dim ``B`` (divisible by
     ``n_micro``); replicated across the ``axis`` members. Returns the
@@ -177,7 +180,9 @@ def gpipe(
             cur,
             xm,
         )
-        y = stage_fn(cur)
+        # the microbatch this stage holds at tick t is m = t - s
+        m_cur = jnp.clip(t - s, 0, n_micro - 1)
+        y = stage_fn(cur, m_cur)
         # last stage emits microbatch t-(P-1) once the pipe has filled
         m_out = jnp.clip(t - (n_stage - 1), 0, n_micro - 1)
         emit = (s == n_stage - 1) & (t >= n_stage - 1)

@@ -87,10 +87,13 @@ def main():
     if args.opts:
         cfg.merge_from_list(args.opts)
     # batch-carrying devices: total minus the batch-replicating axes
-    # (seq/pipe under shard_map, model under auto) — mesh.py owns the rule
-    from advise_tpu.parallel.mesh import batch_device_count
+    # (seq/pipe under shard_map, model under auto) — mesh.py owns the
+    # rule. An explicit --opts NUM_WORLDS wins (e.g. to certify an
+    # alternative LR-scaling world count).
+    if "NUM_WORLDS" not in args.opts:
+        from advise_tpu.parallel.mesh import batch_device_count
 
-    cfg.NUM_WORLDS = batch_device_count(cfg, n)
+        cfg.NUM_WORLDS = batch_device_count(cfg, n)
     cfg = assert_and_infer_cfg(cfg)
 
     mesh = build_mesh(cfg, devices=devices)

@@ -194,7 +194,8 @@ def _run_aot(args, timeout=1200):
             proc.stdout + proc.stderr
         ):
             return proc
-        time.sleep(60)
+        if attempt == 0:
+            time.sleep(60)
     return proc
 
 

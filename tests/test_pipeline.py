@@ -67,7 +67,7 @@ def test_gpipe_matches_serial(n_micro):
         w, x = sync_cotangents((w, x))
         w_loc = stage_slice(w, n_stage)
 
-        def stage(h):
+        def stage(h, _m):
             def body(hh, wk):
                 return jnp.tanh(hh @ wk), None
 
@@ -94,11 +94,36 @@ def test_gpipe_matches_serial(n_micro):
         np.testing.assert_allclose(g, r, atol=1e-5)
 
 
+def test_gpipe_microbatch_index_reaches_every_stage():
+    """Every stage must see the TRUE microbatch index m for the ticket it
+    holds (stochastic layers fold m into their RNG — a wrong or shared m
+    re-correlates dropout masks across microbatches). stage_fn adds its m
+    each hop: row r (its own microbatch, bm=1) must come out x + P*r."""
+    n_stage = 4
+    mesh = _pipe_mesh(n_stage)
+    x = jnp.zeros((4, 2), jnp.float32)
+
+    def run(x):
+        return gpipe(
+            lambda h, m: h + m.astype(h.dtype),
+            x,
+            n_stage=n_stage,
+            n_micro=4,
+        )
+
+    out = jax.jit(
+        shard_map(run, mesh=mesh, in_specs=P(), out_specs=P(),
+                  check_vma=False)
+    )(x)
+    expect = np.repeat(np.arange(4.0) * n_stage, 2).reshape(4, 2)
+    np.testing.assert_allclose(np.asarray(out), expect)
+
+
 def test_gpipe_rejects_bad_microbatch():
     mesh = _pipe_mesh(2)
 
     def run(x):
-        return gpipe(lambda h: h, x, n_stage=2, n_micro=3)
+        return gpipe(lambda h, _m: h, x, n_stage=2, n_micro=3)
 
     with pytest.raises(AssertionError, match="not divisible"):
         jax.jit(
@@ -254,6 +279,56 @@ def test_short_segments_fall_back():
 # ---------------------------------------------------------------------------
 # validation
 # ---------------------------------------------------------------------------
+
+
+def test_microbatch_droppath_decorrelated():
+    """With drop-path active, different microbatches must draw DIFFERENT
+    stochastic masks. Feed a batch of identical clips at bm=1 (n_micro =
+    rows): under the shared-key bug every microbatch reused one key and
+    all rows came out identical; with the per-microbatch fold-in the rows
+    must differ."""
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.asarray(devs), (PIPE_AXIS,))
+    cfg = _mask_cfg(4)
+    cfg.MODEL.MODEL_NAME = "MViT"
+    cfg.TASK = "speed"
+    cfg.MVIT.DROPPATH_RATE = 0.5
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.NUM_WORLDS = 1
+    cfg = assert_and_infer_cfg(cfg)
+
+    model = build_model(cfg)  # pipeline=True (MESH_PIPE=4)
+    model_init = build_model(cfg, sync_axes=())
+    x1 = jnp.ones((1, 4, 32, 32, 3), jnp.float32)
+    v = jax.jit(
+        lambda: model_init.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x1,
+            train=False,
+        )
+    )()
+    clips = jnp.ones((4, 4, 32, 32, 3), jnp.float32)  # 4 IDENTICAL rows
+
+    def fwd(params, x):
+        return model.apply(
+            {"params": params}, x, train=True,
+            rngs={"dropout": jax.random.PRNGKey(3)},
+        )
+
+    logits = jax.jit(
+        shard_map(fwd, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+                  check_vma=False)
+    )(v["params"], clips)
+    logits = np.asarray(logits)
+    assert logits.shape[0] == 4
+    deltas = [
+        float(np.abs(logits[i] - logits[0]).max()) for i in range(1, 4)
+    ]
+    assert any(d > 1e-6 for d in deltas), (
+        f"identical rows produced identical outputs under drop-path — "
+        f"microbatch RNGs are correlated (deltas {deltas})"
+    )
 
 
 def test_pipe_divides_no_segment_is_loud():
