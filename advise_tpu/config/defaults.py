@@ -773,9 +773,11 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
     assert cfg.RESNET.WIDTH_PER_GROUP % cfg.RESNET.NUM_GROUPS == 0
 
     if cfg.TRAIN.BATCH_SIZE == -1:
-        cfg.TRAIN.BATCH_SIZE = (
-            cfg.DATA.BATCHSIZE_PER_GPU * cfg.NUM_GPUS * cfg.NUM_SHARDS
-        )
+        # PER-SHARD batch, matching the reference's semantics exactly:
+        # every reference reader multiplies by NUM_SHARDS to go global
+        # (contrastive.py:810,1101) — inferring the global value here
+        # would double-count NUM_SHARDS in those checks
+        cfg.TRAIN.BATCH_SIZE = cfg.DATA.BATCHSIZE_PER_GPU * cfg.NUM_GPUS
 
     assert cfg.TPU.COMPUTE_DTYPE in ("float32", "bfloat16")
     assert cfg.TPU.PARTITION_MODE in ("shard_map", "auto")
@@ -817,6 +819,15 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
             "TPU.MESH_PIPE and TPU.MESH_SEQ are mutually exclusive for "
             "now (ring attention shards tokens inside the blocks the "
             "pipe schedule streams)"
+        )
+    if cfg.TASK == "speed":
+        # the speed step's backward loss is metrics['loss_spd'] BY NAME
+        # (engine/steps.py speed_task_loss, mirroring the reference
+        # output_handler lookup tools/train.py:147-156) — reject a STAT
+        # list without it here instead of a KeyError mid-trace
+        assert "loss_spd" in cfg.SSL.STAT, (
+            "TASK=speed needs 'loss_spd' in SSL.STAT (the named "
+            "backward loss); got SSL.STAT={}".format(list(cfg.SSL.STAT))
         )
     if cfg.CONTRASTIVE.SEQUENTIAL:
         # per-clip micro-batching (reference contrastive_forward

@@ -113,6 +113,26 @@ class ClipLoader:
         n = len(self.epoch_indices(epoch))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def take_one(
+        self, epoch: int
+    ) -> Optional[Tuple[np.ndarray, Dict[str, np.ndarray]]]:
+        """Fetch ONE collated batch synchronously — no worker pool, no
+        lookahead. For occasional out-of-band consumers (the VIS_MASK
+        epoch-end dump): abandoning an ``epoch()`` generator after one
+        batch would block on — and then discard — its whole in-flight
+        lookahead of speculative decodes at executor shutdown."""
+        order = self.epoch_indices(epoch)
+        if len(order) == 0:
+            return None
+        batch = []
+        for i in range(min(self.batch_size, len(order))):
+            idx = int(order[i])
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch, idx])
+            )
+            batch.append(self.dataset.get(idx, rng))
+        return _collate(batch)
+
     def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, Dict[str, np.ndarray]]]:
         order = self.epoch_indices(epoch)
         if self.drop_last:

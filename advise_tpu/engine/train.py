@@ -247,12 +247,14 @@ def trainer(cfg, tb_logger=None) -> TrainState:
                 dump_mask_visualization,
             )
 
-            vis_clips, _ = next(iter(loader.epoch(epoch + 424243)))
-            dump_mask_visualization(
-                cfg, model_init, state.params, state.batch_stats,
-                jnp.asarray(vis_clips), device_aug,
-                jax.random.fold_in(rng, 424243 + epoch), epoch,
-            )
+            vis_batch = loader.take_one(epoch + 424243)
+            if vis_batch is not None:
+                vis_clips, _ = vis_batch
+                dump_mask_visualization(
+                    cfg, model_init, state.params, state.batch_stats,
+                    jnp.asarray(vis_clips), device_aug,
+                    jax.random.fold_in(rng, 424243 + epoch), epoch,
+                )
         summary = helper.epoch_end()
         if knn_probe_fn is not None:
             summary["knn_acc"] = helper.rt["knn_acc"]

@@ -315,8 +315,11 @@ class ResStage(nn.Module):
     # zero-filled instead of MSRA when the flag is on)
     zero_init_final_conv: bool = False
     # TPU.REMAT_GRANULARITY='block': checkpoint each ResBlock so the
-    # backward replays one block at a time (see config/defaults.py)
+    # backward replays one block at a time (see config/defaults.py).
+    # remat_block_policy carries TPU.REMAT_POLICY into the per-block
+    # scopes (None = save nothing, the nn.remat default).
     remat_blocks: bool = False
+    remat_block_policy: Optional[Callable] = None
     dtype: Optional[jnp.dtype] = None
 
     def _temp_kernels(self, pathway: int):
@@ -333,7 +336,8 @@ class ResStage(nn.Module):
         block_cls = ResBlock
         if self.remat_blocks:
             block_cls = nn.remat(
-                ResBlock, static_argnums=(2,), prevent_cse=False
+                ResBlock, static_argnums=(2,), prevent_cse=False,
+                policy=self.remat_block_policy,
             )
         outputs = []
         for pathway in range(len(self.num_blocks)):

@@ -17,7 +17,7 @@ from flax import linen as nn
 from advise_tpu.models.layers.heads import ResNetBasicHead
 from advise_tpu.models.layers.resnet import ResStage
 from advise_tpu.models.layers.stem import ResNetBasicStem, max_pool_3d
-from advise_tpu.models.utils import remat_policy
+from advise_tpu.models.utils import stage_remat
 
 # reference video_model_builder.py:38
 # depth 10 = (1,1,1,1) is an extension for fast CPU tests (not in reference)
@@ -74,18 +74,7 @@ class ResNet3D(nn.Module):
         dim_inner = num_groups * width
         temp_kernel = TEMPORAL_KERNEL_BASIS[arch]
 
-        stage_cls = ResStage
-        stage_kwargs = {}
-        if cfg.TPU.REMAT or cfg.MODEL.ACT_CHECKPOINT:
-            if getattr(cfg.TPU, "REMAT_GRANULARITY", "stage") == "block":
-                # per-block checkpoint: the backward replays one
-                # residual block at a time (config/defaults.py)
-                stage_kwargs = {"remat_blocks": True}
-            else:
-                stage_cls = nn.remat(
-                    ResStage, static_argnums=(2,), prevent_cse=False,
-                    policy=remat_policy(cfg),
-                )
+        stage_cls, stage_kwargs = stage_remat(cfg, ResStage)
 
         x = ResNetBasicStem(
             dim_out=width,

@@ -24,7 +24,7 @@ from advise_tpu.models.layers.heads import ResNetBasicHead
 from advise_tpu.models.layers.resnet import ResStage
 from advise_tpu.models.layers.stem import ResNetBasicStem, max_pool_3d
 from advise_tpu.models.resnet3d import MODEL_STAGE_DEPTH
-from advise_tpu.models.utils import remat_policy
+from advise_tpu.models.utils import stage_remat
 
 # reference video_model_builder.py:89-96 'slowfast' temporal kernel basis
 SLOWFAST_TEMP_KERNELS = [
@@ -86,18 +86,7 @@ class SlowFast(nn.Module):
         out_dim_ratio = beta_inv // fuse_ratio
 
         d2, d3, d4, d5 = MODEL_STAGE_DEPTH[cfg.RESNET.DEPTH]
-        stage_cls = ResStage
-        stage_kwargs = {}
-        if cfg.TPU.REMAT or cfg.MODEL.ACT_CHECKPOINT:
-            if getattr(cfg.TPU, "REMAT_GRANULARITY", "stage") == "block":
-                # per-block checkpoint: the backward replays one
-                # residual block at a time (config/defaults.py)
-                stage_kwargs = {"remat_blocks": True}
-            else:
-                stage_cls = nn.remat(
-                    ResStage, static_argnums=(2,), prevent_cse=False,
-                    policy=remat_policy(cfg),
-                )
+        stage_cls, stage_kwargs = stage_remat(cfg, ResStage)
         num_groups = cfg.RESNET.NUM_GROUPS
         w = cfg.RESNET.WIDTH_PER_GROUP
         dim_inner = num_groups * w

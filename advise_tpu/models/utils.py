@@ -32,6 +32,33 @@ def remat_policy(cfg):
     raise ValueError(f"unknown TPU.REMAT_POLICY={name!r}")
 
 
+def stage_remat(cfg, stage_cls):
+    """Resolve the (class, extra kwargs) for a residual stage under the
+    TPU.REMAT / REMAT_GRANULARITY / REMAT_POLICY knobs — one place for
+    the rule the ResNet/SlowFast/X3D builders share:
+
+    - granularity 'stage': wrap the whole stage in nn.remat(policy).
+    - granularity 'block': the stage wraps each ResBlock instead and the
+      policy rides along (remat_block_policy).
+    """
+    if not (cfg.TPU.REMAT or cfg.MODEL.ACT_CHECKPOINT):
+        return stage_cls, {}
+    if getattr(cfg.TPU, "REMAT_GRANULARITY", "stage") == "block":
+        return stage_cls, {
+            "remat_blocks": True,
+            "remat_block_policy": remat_policy(cfg),
+        }
+    from flax import linen as nn
+
+    return (
+        nn.remat(
+            stage_cls, static_argnums=(2,), prevent_cse=False,
+            policy=remat_policy(cfg),
+        ),
+        {},
+    )
+
+
 def round_width(width, multiplier, min_width=1, divisor=1) -> int:
     """(reference models/utils.py:11-24)."""
     if not multiplier:

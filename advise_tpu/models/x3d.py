@@ -16,7 +16,7 @@ from flax import linen as nn
 from advise_tpu.models.layers.heads import X3DHead
 from advise_tpu.models.layers.resnet import ResStage
 from advise_tpu.models.layers.stem import X3DStem
-from advise_tpu.models.utils import remat_policy, round_width
+from advise_tpu.models.utils import round_width, stage_remat
 
 # X3D temporal kernel basis (reference video_model_builder.py:92-99 "x3d")
 X3D_TEMP_KERNELS = [[5], [3], [3], [3], [3]]
@@ -63,18 +63,7 @@ class X3D(nn.Module):
         dim_in = dim_res1
         dim_out = dim_in
         dim_inner = dim_in
-        stage_cls = ResStage
-        stage_kwargs = {}
-        if cfg.TPU.REMAT or cfg.MODEL.ACT_CHECKPOINT:
-            if getattr(cfg.TPU, "REMAT_GRANULARITY", "stage") == "block":
-                # per-block checkpoint: the backward replays one
-                # residual block at a time (config/defaults.py)
-                stage_kwargs = {"remat_blocks": True}
-            else:
-                stage_cls = nn.remat(
-                    ResStage, static_argnums=(2,), prevent_cse=False,
-                    policy=remat_policy(cfg),
-                )
+        stage_cls, stage_kwargs = stage_remat(cfg, ResStage)
         for stage, (blocks, c, stride) in enumerate(block_basis):
             dim_out = round_width(c, w_mul)
             dim_inner = int(cfg.X3D.BOTTLENECK_FACTOR * dim_out)

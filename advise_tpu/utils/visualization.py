@@ -131,6 +131,10 @@ def cam_heatmaps(tokens: np.ndarray, grid_hw: int, frame_hw: int) -> np.ndarray:
     return maps
 
 
+# jitted (aug + masked-forward) programs keyed by (model, aug) identity
+_VIS_FORWARD_CACHE: dict = {}
+
+
 def dump_mask_visualization(
     cfg, model, params, batch_stats, clips_u8, device_aug, rng,
     epoch: int, max_items: int = 4,
@@ -147,20 +151,34 @@ def dump_mask_visualization(
     if not cfg.VIS_MASK.ENABLE:
         return None
     aug_rng, mask_rng, drop_rng = jax.random.split(rng, 3)
-    clips = (
-        device_aug(clips_u8, aug_rng) if device_aug is not None else clips_u8
-    )
-    b, k = clips.shape[:2]
-    x = clips.reshape(b * k, *clips.shape[2:])[:max_items]
-    x = x.astype(
+    compute = (
         jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     )
-    out = model.apply(
-        {"params": params, "batch_stats": batch_stats},
-        x, train=False,
-        rngs={"mask": mask_rng, "dropout": drop_rng},
-    )
-    vis = out[-1]  # (input, masked, recon), each [N, T, H, W, 3]
+
+    # ONE jitted program for aug + masked forward: op-by-op dispatch of
+    # an MViT forward through a remote-compile backend (this image's
+    # axon relay: ~30s-4min PER program) would turn the epoch-end dump
+    # into hours. Cached per (model, aug) pair so later epochs reuse it.
+    key = (id(model), id(device_aug))
+    jitted = _VIS_FORWARD_CACHE.get(key)
+    if jitted is None:
+
+        def _forward(p, bs, u8, a_rng, m_rng, d_rng):
+            c = device_aug(u8, a_rng) if device_aug is not None else u8
+            b, k = c.shape[:2]
+            xx = c.reshape(b * k, *c.shape[2:])[:max_items]
+            out = model.apply(
+                {"params": p, "batch_stats": bs},
+                xx.astype(compute), train=False,
+                rngs={"mask": m_rng, "dropout": d_rng},
+            )
+            return out[-1]
+
+        jitted = jax.jit(_forward)
+        _VIS_FORWARD_CACHE[key] = jitted
+    vis = jitted(
+        params, batch_stats, clips_u8, aug_rng, mask_rng, drop_rng
+    )  # (input, masked, recon), each [N, T, H, W, 3]
     pfx = os.path.basename(str(cfg.TEST.CHECKPOINT_FILE_PATH or ""))
     pfx = pfx.rsplit(".", 1)[0]
     mr = cfg.AUG.MASK_RATIO
