@@ -2,7 +2,16 @@
 input-pipeline and end-to-end runs without the real dataset: textured
 moving-object clips at realistic decode cost (340x256, 25 fps, 10 s).
 
-Usage: python scripts/make_mini_k400.py /tmp/minik400 [n_videos]
+Usage: python scripts/make_mini_k400.py /tmp/minik400 [n_videos] [class_coded]
+
+Default content: per-video random texture + blobs whose colors re-roll
+EVERY FRAME (pure flicker) — the only class-correlated signal is blob
+SPEED, which an appearance-level SSL objective has no pressure to
+encode, so online-kNN class accuracy can stay at chance even with a
+healthy encoder (measured: BYOL + MoCo both flat, BASELINE.md). Pass
+class_coded=1 to key each video's (fixed) blob palette to its class —
+classes become appearance-separable, so a learning encoder makes the
+kNN monitor climb; this is the kNN-certification variant.
 """
 
 from __future__ import annotations
@@ -17,6 +26,7 @@ import numpy as np
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/minik400"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    class_coded = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
     w, h, fps, secs, classes = 340, 256, 25, 10, 4
     data = os.path.join(root, "videos")
     lists = os.path.join(root, "lists")
@@ -41,13 +51,27 @@ def main():
             bg = rng.integers(0, 255, (h, w, 3), np.uint8)
             bg = cv2.GaussianBlur(bg, (21, 21), 0)
             blobs = rng.uniform(0, 1, (6, 4))  # x0,y0,vx,vy
+            if class_coded:
+                # fixed per-video palette around a class hue anchor:
+                # class is appearance-separable, instances still distinct
+                anchor = np.array(
+                    [[220, 60, 60], [60, 220, 60], [60, 60, 220],
+                     [220, 220, 60]][c]
+                )
+                pal = np.clip(
+                    anchor + rng.integers(-40, 40, (6, 3)), 0, 255
+                ).astype(int)
             for t in range(fps * secs):
                 f = bg.copy()
                 for bi, (x0, y0, vx, vy) in enumerate(blobs):
                     sp = 1.0 + c * 1.5
                     x = int((x0 * w + t * sp * (vx * 8 - 4)) % w)
                     y = int((y0 * h + t * sp * (vy * 8 - 4)) % h)
-                    col = tuple(int(v) for v in rng.integers(60, 255, 3))
+                    col = (
+                        tuple(int(v) for v in pal[bi])
+                        if class_coded
+                        else tuple(int(v) for v in rng.integers(60, 255, 3))
+                    )
                     cv2.circle(f, (x, y), 12 + 4 * bi, col, -1)
                 wr.write(f)
             wr.release()
