@@ -3,33 +3,42 @@
 The hot half of the 'simple' training augmentation (reference
 ``datasets/augmentation.py`` Resize->RandomCrop->ColorJitter->Normalize;
 the fixed Resize happens at ingest). One kernel invocation processes one
-frame tile:
+frame:
 
-  HBM uint8 frame --DMA--> VMEM -> (crop offset via scalar prefetch)
+  HBM uint8 rows --DMA--> VMEM -> (crop via aligned DMA + residual rolls)
      -> brightness/contrast/saturation (PIL ImageEnhance semantics)
      -> mean/std normalize -> VMEM float32 out
 
-Compared to the XLA lowering of the same chain, the kernel reads ONLY the
-cropped window from HBM (grid + scalar-prefetched offsets drive the DMA)
-and keeps the whole op chain in one VMEM residency — no intermediate HBM
-round-trips.
+Compared to the XLA lowering of the same chain, the kernel reads only the
+cropped row band from HBM and keeps the whole op chain in one VMEM
+residency — no intermediate HBM round-trips.
 
-Per-clip parameters (crop offsets, color factors, luma means) are computed
-cheaply in JAX and fed as scalar-prefetch operands.
+MOSAIC LAYOUT RULES (probed chipless via scripts/probe_mosaic_aot.py;
+the 2026-08 toolchain finally emits real diagnostics instead of the old
+opaque HTTP 500):
+  - dynamic DMA offsets on untiled leading dims: allowed;
+  - dynamic offsets on the sublane dim: only with a
+    ``pl.multiple_of(., 8)`` divisibility proof;
+  - the minor (lane) dim of a dynamically-offset DMA must be 128-aligned
+    — which forbids the natural ``[H, W, 3]`` channel-last slice
+    (minor dim 3);
+  - ``pltpu.roll`` accepts DYNAMIC shifts on both sublanes and lanes;
+  - in-kernel ``lax.dynamic_slice`` is not lowered.
 
-STATUS: correct and tested in interpret mode and on CPU
-(tests/test_pallas_aug.py). On this environment's TPU tunnel the Mosaic
-remote-compile helper crashes on ANY kernel using runtime-offset slices
-or manual DMA (bisected: plain VMEM-block kernels and lax.switch compile
-fine; `pl.ds(traced, n)` indexing and `make_async_copy` both return
-HTTP 500 from the compile helper) — an infrastructure limitation, not a
-kernel bug, so TPU.PALLAS_AUG defaults to False and the XLA lowering
-(which fuses well; see BASELINE.md) remains the default path.
+So the kernel views each frame as flat rows ``[H, W*3]`` (a free bitcast
+reshape; lanes = interleaved RGB, padded to a 128 multiple), DMAs the
+8-aligned row band ``[align8(top), align8(top)+S+8)``, fixes the
+``top % 8`` and ``3*left`` residuals with two dynamic rolls, and does the
+per-channel math with 3-periodic lane masks (luma triplet-sum via two
+static rolls, broadcast back via two more).
+
+Per-clip parameters (crop offsets, color factors, luma means) are
+computed cheaply in JAX and fed as scalar-prefetch operands, drawn from
+the same streams as v1 so crop semantics are unchanged.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -50,8 +59,8 @@ def _aug_kernel(
     tops_ref, lefts_ref, bfac_ref, cfac_ref, sfac_ref, apply_ref, order_ref,
     cmean_ref,
     # tensor in/out
-    frame_ref,  # [H_in, W_in, 3] uint8, full frame in ANY/HBM
-    out_ref,  # [S, S, 3] float32 (VMEM block)
+    rows_ref,  # [N, T, H+8, W3p] uint8, flat padded rows in ANY/HBM
+    out_ref,  # [1, 1, S, 3S] float32 (VMEM block)
     *,
     size: int,
     mean: Tuple[float, float, float],
@@ -61,29 +70,51 @@ def _aug_kernel(
     t = pl.program_id(1)  # frame index
     top = tops_ref[n]
     left = lefts_ref[n]
+    top_a = pl.multiple_of((top // 8) * 8, 8)  # sublane-aligned band start
 
     def body(scratch, sem):
-        # DMA only the cropped window of THIS (clip, frame) from HBM.
-        # frame_ref is the full [N, T, H, W, 3] buffer (ANY memory space
-        # passes the unblocked ref; we do the indexing in the DMA).
+        # DMA only the aligned row band of THIS (clip, frame) from HBM.
         dma = pltpu.make_async_copy(
-            frame_ref.at[n, t, pl.ds(top, size), pl.ds(left, size), :],
-            scratch,
-            sem,
+            rows_ref.at[n, t, pl.ds(top_a, size + 8), :], scratch, sem
         )
         dma.start()
         dma.wait()
         # Mosaic has no direct u8->f32 cast; go through i32
-        x = scratch[...].astype(jnp.int32).astype(jnp.float32)  # [S, S, 3]
+        v = scratch[...].astype(jnp.int32).astype(jnp.float32)
+        # pltpu.roll wants non-negative shifts; -k == +(D - k) % D
+        hb, w3p = size + 8, v.shape[1]
+        v = pltpu.roll(v, (hb - (top - top_a)) % hb, 0)  # residual rows
+        v = pltpu.roll(v, (w3p - 3 * left) % w3p, 1)  # crop cols (lanes)
+        x = v[:size, : 3 * size]  # [S, 3S] interleaved RGB
+
+        # 3-periodic lane machinery (channel c of pixel j sits at lane
+        # 3j + c)
+        cmod = jax.lax.broadcasted_iota(
+            jnp.int32, (size, 3 * size), 1
+        ) % 3
+
+        def tri(vals):
+            return jnp.where(
+                cmod == 0,
+                jnp.float32(vals[0]),
+                jnp.where(
+                    cmod == 1, jnp.float32(vals[1]), jnp.float32(vals[2])
+                ),
+            )
+
+        # luma per pixel, broadcast back to its 3 lanes: weighted sum of
+        # the triplet via two backward rolls (the masked lanes that wrap
+        # around contribute zeros), then two forward rolls to broadcast
+        w3s = 3 * size
+        lw = x * tri(LUMA)
+        s3 = lw + pltpu.roll(lw, w3s - 1, 1) + pltpu.roll(lw, w3s - 2, 1)
+        t0 = jnp.where(cmod == 0, s3, 0.0)
+        luma = jnp.floor(t0 + pltpu.roll(t0, 1, 1) + pltpu.roll(t0, 2, 1))
 
         bf = bfac_ref[n]
         cf = cfac_ref[n]
         sf = sfac_ref[n]
         cmean = cmean_ref[n, t]
-        luma = (
-            LUMA[0] * x[:, :, 0] + LUMA[1] * x[:, :, 1] + LUMA[2] * x[:, :, 2]
-        )
-        luma = jnp.floor(luma)[:, :, None]
 
         def do_bri(v):
             return _round_u8(v * bf)
@@ -104,17 +135,11 @@ def _aug_kernel(
                 order_ref[n, i], [do_bri, do_con, do_sat, do_hue], y
             )
         y = jnp.where(apply_ref[n] > 0, y, x)
-        # per-channel normalize with python-constant folding (no captured
-        # jnp constants inside the kernel)
-        chans = [
-            (y[:, :, i] - mean[i] * 255.0) / (std[i] * 255.0)
-            for i in range(3)
-        ]
-        out_ref[...] = jnp.stack(chans, axis=-1)
+        out_ref[0, 0] = (y - tri(mean) * 255.0) / (tri(std) * 255.0)
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((size, size, 3), jnp.uint8),
+        scratch=pltpu.VMEM((size + 8, rows_ref.shape[-1]), jnp.uint8),
         sem=pltpu.SemaphoreType.DMA,
     )
 
@@ -160,28 +185,40 @@ def fused_simple_aug(
 
     cmeans = jax.vmap(crop_mean)(clips_u8, tops, lefts)  # [N, T]
 
+    # flat padded rows: [N, T, H+8, W3p]. The H pad absorbs the aligned
+    # band overrun (top_a + S + 8 <= H + 7); the lane pad brings the
+    # minor dim to the 128 multiple Mosaic's DMA requires.
+    w3 = 3 * w
+    w3p = max(128, -(-w3 // 128) * 128)
+    rows = jnp.pad(
+        clips_u8.reshape(n, t, h, w3),
+        ((0, 0), (0, 0), (0, 8), (0, w3p - w3)),
+    )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(n, t),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, size, size, 3),
-            lambda i, j, *_: (i, j, 0, 0, 0),
+            (1, 1, size, 3 * size),
+            lambda i, j, *_: (i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
 
-    def kernel(tops_r, lefts_r, bf_r, cf_r, sf_r, ap_r, od_r, cm_r, in_r, out_r):
+    def kernel(tops_r, lefts_r, bf_r, cf_r, sf_r, ap_r, od_r, cm_r, in_r,
+               out_r):
         _aug_kernel(
             tops_r, lefts_r, bf_r, cf_r, sf_r, ap_r, od_r, cm_r,
-            in_r, out_r.at[0, 0],
+            in_r, out_r,
             size=size, mean=tuple(mean), std=tuple(std),
         )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, t, size, size, 3), jnp.float32),
-    )(tops, lefts, bfac, cfac, sfac, apply, order, cmeans, clips_u8)
+        out_shape=jax.ShapeDtypeStruct((n, t, size, 3 * size), jnp.float32),
+    )(tops, lefts, bfac, cfac, sfac, apply, order, cmeans, rows)
+    return out.reshape(n, t, size, size, 3)
