@@ -305,7 +305,7 @@ def make_simple_train_aug(cfg):
             flat = batch_u8.reshape(bsz * k, *batch_u8.shape[2:])
             out = fused_simple_aug(
                 flat, key, size, color=tuple(cfg.AUG.COLOR),
-                mean=tuple(mean), std=tuple(std),
+                mean=tuple(mean), std=tuple(std), out_dtype=od,
             )
             return out.reshape(bsz, k, *out.shape[1:])
 

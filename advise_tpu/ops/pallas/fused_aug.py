@@ -135,7 +135,9 @@ def _aug_kernel(
                 order_ref[n, i], [do_bri, do_con, do_sat, do_hue], y
             )
         y = jnp.where(apply_ref[n] > 0, y, x)
-        out_ref[0, 0] = (y - tri(mean) * 255.0) / (tri(std) * 255.0)
+        out_ref[0, 0] = (
+            (y - tri(mean) * 255.0) / (tri(std) * 255.0)
+        ).astype(out_ref.dtype)
 
     pl.run_scoped(
         body,
@@ -151,11 +153,13 @@ def fused_simple_aug(
     color=(0.8, 0.4, 0.4, 0.4, 0.2),
     mean=(0.485, 0.456, 0.406),
     std=(0.229, 0.224, 0.225),
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Pallas-fused 'simple' aug. Parameters are drawn per clip exactly like
     the reference's per-clip fixed seed; the contrast luma-mean is computed
     per frame in JAX (a cheap reduction XLA fuses into the uint8 load) and
-    prefetched."""
+    prefetched. ``out_dtype`` mirrors TPU.AUG_COMPUTE_OUT: emitting bf16
+    halves the kernel's HBM write traffic (math stays f32 in VMEM)."""
     n, t, h, w, c = clips_u8.shape
     assert c == 3
     p, b, cj, s_, _hue = color
@@ -219,6 +223,6 @@ def fused_simple_aug(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, t, size, 3 * size), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, t, size, 3 * size), out_dtype),
     )(tops, lefts, bfac, cfac, sfac, apply, order, cmeans, rows)
     return out.reshape(n, t, size, size, 3)

@@ -50,3 +50,18 @@ def test_color_path_bounded_and_param_shared_across_frames():
     np.testing.assert_allclose(out[:, 0], out[:, 2], atol=1e-5)
     # ImageNet-normalized range
     assert out.min() > -3.0 and out.max() < 3.5
+
+
+def test_bf16_emission_matches_f32_rounded():
+    """out_dtype=bf16 (TPU.AUG_COMPUTE_OUT) is the f32 result rounded to
+    bf16 — math stays f32 inside the kernel."""
+    rng = np.random.default_rng(2)
+    clips = jnp.asarray(rng.integers(0, 256, (2, 2, 40, 48, 3), np.uint8))
+    key = jax.random.PRNGKey(11)
+    with pltpu.force_tpu_interpret_mode():
+        f32 = fused_simple_aug(clips, key, size=32)
+        b16 = fused_simple_aug(clips, key, size=32, out_dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(b16), np.asarray(f32.astype(jnp.bfloat16))
+    )
