@@ -19,6 +19,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if "JAX_PLATFORMS" in os.environ:
+    # sitecustomize pre-imports jax on the axon backend; honor the env
+    # override so CPU repros don't land on the chip (same as bench.py)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,8 +102,14 @@ def main():
         # the real pipeline ships loader-side blockwise masks; replicate
         from advise_tpu.data.masking import MaskingGenerator3D
 
+        # token grid at the POST-AUG geometry (TARGET_SIZE crops), matching
+        # the real loader (data/__init__.py build_dataset)
         pt, ph, pw = cfg.MVIT.PATCH_STRIDE
-        grid = (max(t // pt, 1), h // ph, w // pw)
+        grid = (
+            max(t // pt, 1),
+            cfg.AUG.TARGET_SIZE // ph,
+            cfg.AUG.TARGET_SIZE // pw,
+        )
         gen = MaskingGenerator3D(
             grid, int(round(cfg.AUG.MASK_RATIO * grid[0] * grid[1] * grid[2])),
             max_num_patches=(cfg.AUG.MAX_MASK_PATCHES_PER_BLOCK or None),
