@@ -152,6 +152,12 @@ _C.TPU.VMAP_VIEWS = True
 # XLA lowering.
 _C.TPU.PALLAS_AUG = False
 
+# Route MViT's rel-pos-free pooled-KV attention through the Pallas flash
+# kernel (ops/flash_attention.py): scores stream through VMEM tiles
+# instead of materializing [nq, nk] f32 tensors in HBM. Non-TPU backends
+# fall back to the dense chain automatically (CPU mesh tests/dryrun).
+_C.TPU.FLASH_ATTENTION = False
+
 # When set, capture a jax.profiler trace of training steps
 # [PROFILE_START, PROFILE_START + PROFILE_STEPS) into this directory
 # (the SURVEY §5 tracing subsystem; view with TensorBoard or Perfetto).
@@ -291,6 +297,8 @@ _C.CONTRASTIVE.KNN_BATCH_STATS = False
 _C.TRAIN = CfgNode()
 
 _C.TRAIN.LOG_FREQ = 20
+# checkpoint every N epochs; <= 0 disables ALL checkpoint writes
+# (incl. best) — bench/convergence-run affordance, engine/checkpoint.py
 _C.TRAIN.SAVE_FREQ = 5
 # N/A on TPU: mixed precision is the dtype policy (TPU.COMPUTE_DTYPE =
 # bfloat16), not a torch autocast context (reference tools/train.py AMP).

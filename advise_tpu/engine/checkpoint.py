@@ -83,7 +83,15 @@ class CheckpointManager:
             return None
 
     def save(self, state, epoch: int, summary: Dict[str, float]):
-        """rank-0 style save: periodic + best (reference misc.py:280-349)."""
+        """rank-0 style save: periodic + best (reference misc.py:280-349).
+
+        ``TRAIN.SAVE_FREQ <= 0`` disables ALL writes (periodic and best) —
+        a TPU-bench affordance the reference lacks (its SAVE_FREQ is
+        always >= 1): on the tunneled relay a single Orbax D2H save costs
+        ~195 s, which would dominate bounded benchmark/convergence runs.
+        """
+        if self.save_freq <= 0:
+            return
         if jax.process_index() != 0:
             return
         meta = {"epoch": epoch, "summary": dict(summary)}

@@ -140,6 +140,10 @@ class MultiScaleAttention(nn.Module):
     # attention). Only legal without cls token / rel-pos, inside shard_map
     # over a mesh that carries this axis.
     seq_axis: Optional[str] = None
+    # TPU.FLASH_ATTENTION: run eligible (rel-pos-free) score computation
+    # through the Pallas flash kernel (ops/flash_attention.py). Non-TPU
+    # backends fall back to the dense chain automatically.
+    flash: bool = False
     # divide the out-proj's initialized weight (MAE fix_init_weight depth
     # rescale, MASK.SCALE_INIT_BY_DEPTH; reference masked.py:130)
     proj_init_div: float = 1.0
@@ -329,6 +333,17 @@ class MultiScaleAttention(nn.Module):
     def _dense_attention(self, q, k, v, scale, stride_q, stride_kv,
                          q_shape, k_shape):
         head_dim = self.dim_out // self.num_heads
+        if (
+            self.flash
+            and not self.rel_pos_spatial
+            and not self.rel_pos_temporal
+        ):
+            from advise_tpu.ops.flash_attention import (
+                flash_available, flash_mha,
+            )
+
+            if flash_available():
+                return flash_mha(q, k, v, scale)
         attn = jnp.einsum(
             "bhqc,bhkc->bhqk", q * scale, k, preferred_element_type=jnp.float32
         )
@@ -385,6 +400,7 @@ class MultiScaleBlock(nn.Module):
     dim_mul_in_att: bool = False
     separate_qkv: bool = False
     seq_axis: Optional[str] = None
+    flash: bool = False  # see MultiScaleAttention.flash
     # MASK.SCALE_INIT_BY_DEPTH: attn out-proj and mlp fc2 inits divided by
     # sqrt(2 * layer_id) (reference MAE fix_init_weight, masked.py:130)
     init_div: float = 1.0
@@ -419,6 +435,7 @@ class MultiScaleBlock(nn.Module):
             residual_pooling=self.residual_pooling,
             separate_qkv=self.separate_qkv,
             seq_axis=self.seq_axis,
+            flash=self.flash,
             proj_init_div=self.init_div,
             dtype=self.dtype,
             name="attn",

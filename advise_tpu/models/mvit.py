@@ -196,6 +196,7 @@ def _seg_sub_modules(cfg, spec, dtype):
         separate_qkv=cfg.MVIT.SEPARATE_QKV,
         layer_scale_init_value=cfg.MVIT.LAYER_SCALE_INIT_VALUE,
         seq_axis=_block_seq_axis(cfg, spec),
+        flash=bool(cfg.TPU.FLASH_ATTENTION),
         dtype=dtype,
         parent=None,
     )
@@ -246,6 +247,7 @@ class RevAttnSub(nn.Module):
     separate_qkv: bool
     layer_scale_init_value: float = 0.0
     seq_axis: Optional[str] = None
+    flash: bool = False  # see MultiScaleAttention.flash
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -270,6 +272,7 @@ class RevAttnSub(nn.Module):
             residual_pooling=self.residual_pooling,
             separate_qkv=self.separate_qkv,
             seq_axis=self.seq_axis,
+            flash=self.flash,
             dtype=self.dtype,
             name="attn",
         )(xn, tuple(self.input_size), deterministic)
@@ -355,6 +358,7 @@ class StageTransitionBlock(nn.Module):
     pre_q_fusion: str = "avg"
     res_path: str = "conv"
     seq_axis: Optional[str] = None
+    flash: bool = False  # see MultiScaleAttention.flash
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -392,6 +396,7 @@ class StageTransitionBlock(nn.Module):
             residual_pooling=self.residual_pooling,
             separate_qkv=self.separate_qkv,
             seq_axis=self.seq_axis,
+            flash=self.flash,
             dtype=self.dtype,
             name="attn",
         )
@@ -705,6 +710,7 @@ class MViT(nn.Module):
                         pre_q_fusion=cfg.MVIT.REV.PRE_Q_FUSION,
                         res_path=cfg.MVIT.REV.RES_PATH,
                         seq_axis=_block_seq_axis(cfg, spec),
+                        flash=bool(cfg.TPU.FLASH_ATTENTION),
                         dtype=self.dtype,
                         name=f"blocks_{i}",
                     )
@@ -792,6 +798,7 @@ class MViT(nn.Module):
                     dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
                     separate_qkv=cfg.MVIT.SEPARATE_QKV,
                     seq_axis=_block_seq_axis(cfg, spec),
+                    flash=bool(cfg.TPU.FLASH_ATTENTION),
                     # MASK.SCALE_INIT_BY_DEPTH (MAE fix_init_weight):
                     # proj/fc2 inits divided by sqrt(2 * layer_id)
                     init_div=(

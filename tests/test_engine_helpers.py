@@ -78,6 +78,30 @@ def test_default_criteria_tracks_ssl_losses():
     assert default_criteria({"acc@1": 0.9}) == 0.0  # no loss at all
 
 
+def test_save_freq_zero_disables_all_writes(tmp_path):
+    """TRAIN.SAVE_FREQ <= 0 suppresses periodic AND best checkpoint writes
+    (bench affordance: one Orbax save costs ~195 s over the relay tunnel)."""
+    import jax.numpy as jnp
+
+    from advise_tpu.engine.checkpoint import CheckpointManager
+    from advise_tpu.engine.state import TrainState
+
+    cfg = get_cfg()
+    cfg.LOGDIR = str(tmp_path)
+    cfg.TRAIN.SAVE_FREQ = 0
+    cfg.SOLVER.MAX_EPOCH = 1
+    state = TrainState(
+        params={"w": jnp.ones((2,))}, batch_stats={}, opt_state=(),
+        step=jnp.zeros((), jnp.int32),
+    )
+    mgr = CheckpointManager(cfg)
+    mgr.save(state, 0, {"loss_nce": 0.5})  # last epoch + best-improving
+    import os
+
+    assert not os.path.exists(mgr._path("Model_Best"))
+    assert not os.path.exists(mgr._path("Model_Epoch_0000"))
+
+
 def test_best_criteria_survives_restart(tmp_path):
     """Model_Best's criteria value persists in the meta sidecar so a
     restarted run does not clobber a historically better checkpoint."""
