@@ -865,6 +865,22 @@ def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
         f"MVIT.NORM={cfg.MVIT.NORM!r}: the reference (and this rebuild) "
         "only implements 'layernorm'"
     )
+    if cfg.TPU.FLASH_ATTENTION and (
+        cfg.MVIT.REL_POS_SPATIAL or cfg.MVIT.REL_POS_TEMPORAL
+    ):
+        # flash attention cannot fold the decomposed rel-pos bias into
+        # its streaming softmax (the bias is recomputed per score tile
+        # from q — models/layers/attention.py add_rel_pos_*), so those
+        # blocks run dense. Say so loudly instead of silently ignoring
+        # the knob (project loud-knob standard).
+        import logging as _logging
+
+        _logging.getLogger(__name__).warning(
+            "TPU.FLASH_ATTENTION=True but MVIT.REL_POS_SPATIAL/TEMPORAL "
+            "is on: rel-pos attention blocks are flash-INELIGIBLE and "
+            "run the dense path (flash applies only to rel-pos-free "
+            "blocks). Disable rel-pos or expect no flash speedup."
+        )
     if cfg.MVIT.REV.ENABLE:
         assert cfg.MVIT.REV.RES_PATH in ("conv", "max"), (
             f"MVIT.REV.RES_PATH={cfg.MVIT.REV.RES_PATH!r} (reference "

@@ -20,7 +20,12 @@ MViT shapes are not tile-aligned, so this wrapper:
     keys and are sliced off — harmless garbage, no masking needed);
   - pads ``nk`` up to a 128 multiple and masks the padded keys via
     ``SegmentIds`` (padded keys MUST be masked: zero-filled K would
-    otherwise receive real softmax weight).
+    otherwise receive real softmax weight);
+  - zero-pads ``head_dim`` up to the kernel's supported sizes (<=128, or
+    a 128 multiple above — MViT's dim-doubling blocks run head_dim 192
+    while the head count catches up one stage later). Zero columns in
+    q/k add nothing to the scores and zero columns in v emit zero output
+    columns, so the slice-off is exact in both forward and backward.
 
 Parity: tests/test_flash_attention.py — fwd + dq/dk/dv against the
 dense path at 1e-5, through the real MultiScaleAttention module, in TPU
@@ -49,7 +54,17 @@ def _interpret_forced() -> bool:
 
 
 def flash_available() -> bool:
-    """Kernel can run: on a TPU backend, or interpreted for tests."""
+    """Kernel can run: on a TPU backend, or interpreted for tests.
+
+    ``ADVISE_FLASH_TARGET_TPU=1`` force-enables it for chipless AOT
+    lowering (scripts/aot_mvitl.py): the compile TARGET is a TPU
+    topology while the runtime backend is CPU, so backend sniffing
+    alone would silently trace the dense path into the certificate.
+    """
+    import os
+
+    if os.environ.get("ADVISE_FLASH_TARGET_TPU"):
+        return True
     return jax.default_backend() == "tpu" or _interpret_forced()
 
 
@@ -68,6 +83,12 @@ def flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    if d > 128 and d % 128:
+        # kernel constraint: head_dim <=128 or a multiple of 128
+        d_p = _pad_to(d)
+        pad = ((0, 0), (0, 0), (0, 0), (0, d_p - d))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        return flash_mha(q, k, v, scale)[..., :d]
     nq_p, nk_p = _pad_to(nq), _pad_to(nk)
     if nq_p != nq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, nq_p - nq), (0, 0)))

@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # runtime backend, and auto-selecting would try to initialize the axon
 # relay — which BLOCKS whenever another process holds the chip
 os.environ["JAX_PLATFORMS"] = "cpu"
+# ...but the compile TARGET is always a TPU topology: let backend-gated
+# TPU kernels (ops/flash_attention.py flash_available) trace in
+os.environ["ADVISE_FLASH_TARGET_TPU"] = "1"
 
 
 def main():

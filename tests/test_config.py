@@ -123,6 +123,28 @@ def test_assert_and_infer_batch():
     assert cfg.TRAIN.BATCH_SIZE == 32
 
 
+def test_flash_relpos_fallback_is_loud(caplog):
+    # TPU.FLASH_ATTENTION with rel-pos tables on: the rel-pos blocks are
+    # flash-INELIGIBLE (attention.py runs them dense). The knob must not
+    # be silently ignored — assert_and_infer_cfg warns.
+    import logging
+
+    cfg = get_cfg()
+    cfg.TPU.FLASH_ATTENTION = True
+    cfg.MVIT.REL_POS_SPATIAL = True
+    with caplog.at_level(logging.WARNING, "advise_tpu.config.defaults"):
+        assert_and_infer_cfg(cfg)
+    assert any("flash-INELIGIBLE" in r.message for r in caplog.records)
+
+    # rel-pos off: no warning
+    cfg2 = get_cfg()
+    cfg2.TPU.FLASH_ATTENTION = True
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "advise_tpu.config.defaults"):
+        assert_and_infer_cfg(cfg2)
+    assert not any("flash-INELIGIBLE" in r.message for r in caplog.records)
+
+
 def test_parse_args_surface(tmp_path):
     p = tmp_path / "a.yaml"
     p.write_text("TASK: speed\n")

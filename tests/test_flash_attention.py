@@ -23,11 +23,13 @@ def _dense_ref(q, k, v, scale):
 
 
 @pytest.mark.parametrize(
-    "nq,nk", [(256, 384), (392, 98), (130, 130)],
-    ids=["aligned_q_padded_kv", "mvit_tail_shapes", "both_padded"],
+    "nq,nk,d", [(256, 384, 48), (392, 98, 48), (130, 130, 48),
+                (256, 128, 192)],
+    ids=["aligned_q_padded_kv", "mvit_tail_shapes", "both_padded",
+         "head_dim_192_padded"],
 )
-def test_flash_mha_matches_dense(nq, nk):
-    b, h, d = 2, 2, 48
+def test_flash_mha_matches_dense(nq, nk, d):
+    b, h = 2, 2
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((b, h, nq, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, h, nk, d)), jnp.float32)
