@@ -201,12 +201,20 @@ def load_pretrained(path: str, state, drop_substr: Tuple[str, ...] = ("head",)):
         if raw_tree is None:
             return target_tree
         src = _flatten(raw_tree)
-        # checkpoint 'backbone/x' keys also serve target 'x' lookups
-        alias = {
-            k[len("backbone/"):]: v
-            for k, v in src.items()
-            if k.startswith("backbone/")
-        }
+        # checkpoint 'backbone/x' (ContrastiveModel pretrains) and
+        # 'encoder/x' (MaskMViT pretrains) keys also serve target 'x'
+        # lookups. The reference gets the masked case for free because
+        # its MaskMViT SUBCLASSES MViT (reference masked.py:24) so
+        # trunk param names already coincide at fine-tune time; here the
+        # trunk is a composed submodule named 'encoder' (models/
+        # masked.py), so probing into a plain MViT needs the same strip.
+        alias = {}
+        for prefix in ("backbone/", "encoder/"):
+            alias.update({
+                k[len(prefix):]: v
+                for k, v in src.items()
+                if k.startswith(prefix)
+            })
         tgt = _flatten(target_tree)
         new = {}
         for key, cur in tgt.items():

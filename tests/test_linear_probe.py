@@ -95,3 +95,64 @@ def test_pretrain_then_linear_probe_then_infer(tmp_path):
     )
     assert total == 4
     assert 0.0 <= acc <= 1.0
+
+
+@pytest.mark.slow
+def test_maskfeat_pretrain_then_mvit_probe(tmp_path):
+    """MaskFeat pretrain -> linear probe of the plain MViT (the
+    transformer-flagship protocol): MaskMViT's trunk params live under
+    'encoder/' (models/masked.py) and must flow into the bare-key MViT
+    probe via load_pretrained's prefix strip — the reference gets the
+    same mapping by MaskMViT SUBCLASSING MViT (reference masked.py:24)."""
+    pre_cfg = get_cfg()
+    pre_cfg.merge_from_file(
+        os.path.join(CFG_DIR, "smoke", "maskfeat_synth.yaml")
+    )
+    pre_cfg.SOLVER.MAX_EPOCH = 1
+    pre_cfg.LOGDIR = str(tmp_path / "pretrain")
+    pre_cfg.RANK = 0
+    pre_cfg = assert_and_infer_cfg(pre_cfg)
+    pre_state = trainer(pre_cfg)
+    ckpt = os.path.join(pre_cfg.LOGDIR, "checkpoints", "Model_Epoch_0000")
+    assert os.path.isdir(ckpt)
+
+    probe_cfg = get_cfg()
+    probe_cfg.merge_from_file(
+        os.path.join(CFG_DIR, "smoke", "maskfeat_synth.yaml")
+    )
+    probe_cfg.TASK = "action_recog"
+    probe_cfg.MODEL.MODEL_NAME = "MViT"
+    probe_cfg.MODEL.NUM_CLASSES = 4
+    probe_cfg.MASK.ENABLE = False
+    probe_cfg.LINEAR_PROBING = True
+    probe_cfg.RESUME = ckpt
+    probe_cfg.DATA.NUM_CLIP = 1
+    probe_cfg.SOLVER.MAX_EPOCH = 1
+    probe_cfg.INFER.NUM_CLIPS = 2
+    probe_cfg.INFER.NUM_CROPS = 1
+    probe_cfg.INFER.NUM_FRAMES = probe_cfg.DATA.NUM_FRAMES
+    probe_cfg.INFER.RES = probe_cfg.AUG.TARGET_SIZE
+    probe_cfg.INFER.SEED = 0
+    probe_cfg.LOGDIR = str(tmp_path / "probe")
+    probe_cfg.RANK = 0
+    probe_cfg = assert_and_infer_cfg(probe_cfg)
+    probe_state = trainer(probe_cfg)
+    assert int(probe_state.step) > 0
+
+    # trunk LOADED from the masked pretrain ('encoder/' stripped) and
+    # FROZEN during the probe: patch_embed must match exactly
+    pre_pe = jax.tree_util.tree_leaves(
+        pre_state.params["encoder"]["patch_embed"]
+    )
+    probe_pe = jax.tree_util.tree_leaves(probe_state.params["patch_embed"])
+    assert len(pre_pe) == len(probe_pe)
+    for a, b in zip(pre_pe, probe_pe):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # multi-view inference runs end-to-end on the probed model
+    model = build_model(probe_cfg)
+    acc, correct, total = inference(
+        probe_cfg, model, probe_state, max_videos=2
+    )
+    assert total == 2
+    assert 0.0 <= acc <= 1.0
