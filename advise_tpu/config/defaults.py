@@ -152,6 +152,14 @@ _C.TPU.VMAP_VIEWS = True
 # XLA lowering.
 _C.TPU.PALLAS_AUG = False
 
+# Route the 8-wide s2d fast stem through the column-packed Toeplitz
+# Pallas kernel (ops/pallas/stem_conv.py): J=16 output positions x 8
+# channels fill the MXU's 128 lanes where XLA's lowering fills 8
+# (BASELINE.md r3 trace: stem fwd 23.9 ms x2 towers + wgrad 44.1 ms).
+# Only eligible shapes route (F*16==128, W%16==0); others and non-TPU
+# backends keep the XLA conv.
+_C.TPU.PALLAS_STEM = False
+
 # Route MViT's rel-pos-free pooled-KV attention through the Pallas flash
 # kernel (ops/flash_attention.py): scores stream through VMEM tiles
 # instead of materializing [nq, nk] f32 tensors in HBM. Non-TPU backends

@@ -77,6 +77,12 @@ class SpaceToDepthStemConv(nn.Module):
     features: int
     temp_kernel: int
     dtype: Optional[jnp.dtype] = None
+    # TPU.PALLAS_STEM: route eligible shapes (the 8-wide fast stem)
+    # through the column-packed Toeplitz Pallas kernel
+    # (ops/pallas/stem_conv.py) instead of XLA's conv lowering. Takes
+    # precedence over pad_out (the Pallas weight-grad is already
+    # MXU-packed). Falls back to XLA off-TPU (CPU tests/dryrun).
+    pallas: bool = False
     # TPU.STEM_PAD_OUT: compute the WEIGHT GRADIENT through a conv whose
     # output channels are zero-padded to this width (the cotangent pads
     # with zeros, the padded weight-grad slices back — exact in exact
@@ -107,6 +113,14 @@ class SpaceToDepthStemConv(nn.Module):
 
         x2 = x2.astype(dtype)
         w2 = w2.astype(dtype)
+        if self.pallas:
+            from advise_tpu.ops.pallas import pallas_tpu_available
+            from advise_tpu.ops.pallas.stem_conv import (
+                eligible, pallas_s2d_stem,
+            )
+
+            if eligible(x2.shape, self.features) and pallas_tpu_available():
+                return pallas_s2d_stem(x2, w2, kt)
         if self.pad_out <= self.features:
             return conv(x2, w2)
         pad_to = int(self.pad_out)
@@ -161,6 +175,7 @@ class ResNetBasicStem(nn.Module):
     dtype: Optional[jnp.dtype] = None
     s2d: bool = False
     pad_out: int = 0  # see SpaceToDepthStemConv.pad_out
+    pallas: bool = False  # see SpaceToDepthStemConv.pallas
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool,
@@ -177,6 +192,7 @@ class ResNetBasicStem(nn.Module):
                 temp_kernel=self.temp_kernel,
                 dtype=self.dtype,
                 pad_out=self.pad_out,
+                pallas=self.pallas,
                 name="conv",
             )(x)
         else:

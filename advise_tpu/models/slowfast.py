@@ -106,7 +106,8 @@ class SlowFast(nn.Module):
         x_f = ResNetBasicStem(
             dim_out=w // beta_inv, temp_kernel=tk[0][1][0], norm=self.norm,
             dtype=self.dtype, s2d=cfg.TPU.STEM_S2D,
-            pad_out=int(cfg.TPU.STEM_PAD_OUT), name="s1_fast",
+            pad_out=int(cfg.TPU.STEM_PAD_OUT),
+            pallas=bool(cfg.TPU.PALLAS_STEM), name="s1_fast",
         )(x_f, train, conv_out=fast_conv)
         if cfg.TPU.STEM_BARRIER:
             # pin the stem outputs: XLA's HLO rematerialization pass may
