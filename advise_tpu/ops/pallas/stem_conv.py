@@ -100,6 +100,10 @@ def _fwd_kernel(*refs, kt: int, h: int, kl: int, wb: int, cp: int):
     x_refs = refs[:kt]
     wt_ref = refs[kt]
     out_ref = refs[kt + 1]
+    # out lanes ARE the final [W, F] order: lane (wb*J + j)*F + co ==
+    # wb*128 + (j*F + co) exactly when J*F == 128 — so each w-block's
+    # GEMM result lands at an aligned 128-lane column and the host-side
+    # reshape to [B,T,H,W,F] is free (no transpose copy)
     acc = [jnp.zeros((h, 128), jnp.float32) for _ in range(wb)]
     for dt in range(kt):
         plane = x_refs[dt][0, 0]            # [HP, LP]
@@ -114,7 +118,9 @@ def _fwd_kernel(*refs, kt: int, h: int, kl: int, wb: int, cp: int):
                     preferred_element_type=jnp.float32,
                 )
     for i in range(wb):
-        out_ref[0, 0, i] = acc[i].astype(out_ref.dtype)
+        out_ref[0, 0, :, i * 128:(i + 1) * 128] = acc[i].astype(
+            out_ref.dtype
+        )
 
 
 def _wgrad_kernel(*refs, kt: int, h: int, kl: int, wb: int, cp: int):
@@ -134,23 +140,16 @@ def _wgrad_kernel(*refs, kt: int, h: int, kl: int, wb: int, cp: int):
             for i in range(wb):
                 sub = rows[:, i * J * cp:i * J * cp + kl]
                 part = part + jax.lax.dot_general(
-                    sub, g_ref[0, 0, i],
+                    sub, g_ref[0, 0, :, i * 128:(i + 1) * 128],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             dwt_ref[dt, dy] += part
 
 
-def _blocked_to_y(out, b, t, h, w, f):
-    """[B,T,WB,H,J*F] -> [B,T,H,W,F]."""
-    out = out.reshape(b, t, w // J, h, J, f)
-    return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, t, h, w, f)
-
-
-def _y_to_blocked(y, f):
-    b, t, h, w, _ = y.shape
-    y = y.reshape(b, t, h, w // J, J, f)
-    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, t, w // J, h, J * f)
+# With J*F == 128, lane (wb*J + j)*F + co == wb*128 + j*F + co: the
+# kernel's [B,T,H,W*F] output IS the row-major [B,T,H,W,F] layout, so
+# both directions are free reshapes (no transpose copies in fwd or bwd).
 
 
 def _fwd(x2: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
@@ -173,17 +172,17 @@ def _fwd(x2: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
         kern,
         grid=(b, t),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, nwb, h, 128),
-                               lambda bb, tt: (bb, tt, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, h, nwb * 128),
+                               lambda bb, tt: (bb, tt, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t, nwb, h, 128), x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t, h, nwb * 128), x2.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * kt * NDY * nwb * h * kl * 128,
-            bytes_accessed=xp.nbytes * kt + b * t * nwb * h * 256,
+            bytes_accessed=xp.nbytes * kt + b * t * h * nwb * 256,
             transcendentals=0,
         ),
     )(*([xp] * kt), wt)
-    return _blocked_to_y(out, b, t, h, w, f)
+    return out.reshape(b, t, h, w, f)
 
 
 def _wgrad(x2: jnp.ndarray, g: jnp.ndarray, kt: int, f: int,
@@ -191,7 +190,7 @@ def _wgrad(x2: jnp.ndarray, g: jnp.ndarray, kt: int, f: int,
     b, t, h, w, _, cp, kwin, kl, nwb = _geom(x2.shape, kt, f)
     xp = _pack_input(x2, kt, cp)
     hp, lp = xp.shape[2], xp.shape[3]
-    gb = _y_to_blocked(g, f)
+    gb = g.reshape(g.shape[0], g.shape[1], g.shape[2], w * f)
     kern = functools.partial(_wgrad_kernel, kt=kt, h=h, kl=kl, wb=nwb,
                              cp=cp)
     in_specs = [
@@ -200,8 +199,8 @@ def _wgrad(x2: jnp.ndarray, g: jnp.ndarray, kt: int, f: int,
                                        d=dt),
                      memory_space=pltpu.VMEM)
         for dt in range(kt)
-    ] + [pl.BlockSpec((1, 1, nwb, h, 128),
-                      lambda bb, tt: (bb, tt, 0, 0, 0),
+    ] + [pl.BlockSpec((1, 1, h, nwb * 128),
+                      lambda bb, tt: (bb, tt, 0, 0),
                       memory_space=pltpu.VMEM)]
     dwt = pl.pallas_call(
         kern,

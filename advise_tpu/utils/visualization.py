@@ -182,8 +182,10 @@ def dump_mask_visualization(
     pfx = os.path.basename(str(cfg.TEST.CHECKPOINT_FILE_PATH or ""))
     pfx = pfx.rsplit(".", 1)[0]
     mr = cfg.AUG.MASK_RATIO
+    # reference writes under cfg.OUTPUT_DIR (masked.py:537); this tree
+    # names the run directory LOGDIR (tools/run.py --output)
     out_dir = os.path.join(
-        cfg.OUTPUT_DIR, "vis_mask", "vid",
+        cfg.LOGDIR, "vis_mask", "vid",
         f"{pfx}vis_video_in_mask_out_mr{mr}",
     )
     os.makedirs(out_dir, exist_ok=True)

@@ -462,7 +462,7 @@ def test_vis_mask_outputs_and_dump(tmp_path):
     cfg.MASK.DECODER_DEPTH = 1
     cfg.MASK.DECODER_EMBED_DIM = 32
     cfg.VIS_MASK.ENABLE = True
-    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.LOGDIR = str(tmp_path)
     cfg.TEST.CHECKPOINT_FILE_PATH = "ckpt/Model_Ep20.pyth"
     cfg = assert_and_infer_cfg(cfg)
     m = build_model(cfg, sync_axes=())
