@@ -166,6 +166,12 @@ _C.TPU.PALLAS_STEM = False
 # fall back to the dense chain automatically (CPU mesh tests/dryrun).
 _C.TPU.FLASH_ATTENTION = False
 
+# With FLASH_ATTENTION on, keep blocks whose head_dim the kernel would
+# have to zero-pad (>128 and not a 128-multiple — MViT's dim-doubling
+# stages run 192-wide heads, padded to 256 = +33% matmul flops) on the
+# dense path; only natively-supported head dims flash.
+_C.TPU.FLASH_NATIVE_DIM_ONLY = False
+
 # When set, capture a jax.profiler trace of training steps
 # [PROFILE_START, PROFILE_START + PROFILE_STEPS) into this directory
 # (the SURVEY §5 tracing subsystem; view with TensorBoard or Perfetto).

@@ -144,6 +144,11 @@ class MultiScaleAttention(nn.Module):
     # through the Pallas flash kernel (ops/flash_attention.py). Non-TPU
     # backends fall back to the dense chain automatically.
     flash: bool = False
+    # TPU.FLASH_NATIVE_DIM_ONLY: only flash blocks whose head_dim the
+    # kernel supports natively (<=128 or a 128-multiple); blocks that
+    # would need head_dim zero-padding (MViT's dim-doubling stages run
+    # 192-wide heads, padded to 256 = +33% matmul flops) stay dense.
+    flash_native_dim_only: bool = False
     # divide the out-proj's initialized weight (MAE fix_init_weight depth
     # rescale, MASK.SCALE_INIT_BY_DEPTH; reference masked.py:130)
     proj_init_div: float = 1.0
@@ -337,6 +342,11 @@ class MultiScaleAttention(nn.Module):
             self.flash
             and not self.rel_pos_spatial
             and not self.rel_pos_temporal
+            and not (
+                self.flash_native_dim_only
+                and head_dim > 128
+                and head_dim % 128
+            )
         ):
             from advise_tpu.ops.flash_attention import (
                 flash_available, flash_mha,
@@ -401,6 +411,7 @@ class MultiScaleBlock(nn.Module):
     separate_qkv: bool = False
     seq_axis: Optional[str] = None
     flash: bool = False  # see MultiScaleAttention.flash
+    flash_native_dim_only: bool = False  # see MultiScaleAttention
     # MASK.SCALE_INIT_BY_DEPTH: attn out-proj and mlp fc2 inits divided by
     # sqrt(2 * layer_id) (reference MAE fix_init_weight, masked.py:130)
     init_div: float = 1.0
@@ -436,6 +447,7 @@ class MultiScaleBlock(nn.Module):
             separate_qkv=self.separate_qkv,
             seq_axis=self.seq_axis,
             flash=self.flash,
+            flash_native_dim_only=self.flash_native_dim_only,
             proj_init_div=self.init_div,
             dtype=self.dtype,
             name="attn",

@@ -197,6 +197,7 @@ def _seg_sub_modules(cfg, spec, dtype):
         layer_scale_init_value=cfg.MVIT.LAYER_SCALE_INIT_VALUE,
         seq_axis=_block_seq_axis(cfg, spec),
         flash=bool(cfg.TPU.FLASH_ATTENTION),
+        flash_native_dim_only=bool(cfg.TPU.FLASH_NATIVE_DIM_ONLY),
         dtype=dtype,
         parent=None,
     )
@@ -248,6 +249,7 @@ class RevAttnSub(nn.Module):
     layer_scale_init_value: float = 0.0
     seq_axis: Optional[str] = None
     flash: bool = False  # see MultiScaleAttention.flash
+    flash_native_dim_only: bool = False  # see MultiScaleAttention
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -273,6 +275,7 @@ class RevAttnSub(nn.Module):
             separate_qkv=self.separate_qkv,
             seq_axis=self.seq_axis,
             flash=self.flash,
+            flash_native_dim_only=self.flash_native_dim_only,
             dtype=self.dtype,
             name="attn",
         )(xn, tuple(self.input_size), deterministic)
@@ -359,6 +362,7 @@ class StageTransitionBlock(nn.Module):
     res_path: str = "conv"
     seq_axis: Optional[str] = None
     flash: bool = False  # see MultiScaleAttention.flash
+    flash_native_dim_only: bool = False  # see MultiScaleAttention
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -397,6 +401,7 @@ class StageTransitionBlock(nn.Module):
             separate_qkv=self.separate_qkv,
             seq_axis=self.seq_axis,
             flash=self.flash,
+            flash_native_dim_only=self.flash_native_dim_only,
             dtype=self.dtype,
             name="attn",
         )
@@ -711,6 +716,8 @@ class MViT(nn.Module):
                         res_path=cfg.MVIT.REV.RES_PATH,
                         seq_axis=_block_seq_axis(cfg, spec),
                         flash=bool(cfg.TPU.FLASH_ATTENTION),
+                        flash_native_dim_only=bool(
+                            cfg.TPU.FLASH_NATIVE_DIM_ONLY),
                         dtype=self.dtype,
                         name=f"blocks_{i}",
                     )
@@ -799,6 +806,8 @@ class MViT(nn.Module):
                     separate_qkv=cfg.MVIT.SEPARATE_QKV,
                     seq_axis=_block_seq_axis(cfg, spec),
                     flash=bool(cfg.TPU.FLASH_ATTENTION),
+                        flash_native_dim_only=bool(
+                            cfg.TPU.FLASH_NATIVE_DIM_ONLY),
                     # MASK.SCALE_INIT_BY_DEPTH (MAE fix_init_weight):
                     # proj/fc2 inits divided by sqrt(2 * layer_id)
                     init_div=(

@@ -33,7 +33,10 @@ def main():
                     help="preset to certify (any task)")
     ap.add_argument("--topology", default="v5e:4x8",
                     help="chipless target topology (32 chips default)")
-    ap.add_argument("--seq", type=int, default=8, help="TPU.MESH_SEQ")
+    ap.add_argument("--seq", type=int, default=None,
+                    help="force TPU.MESH_SEQ (e.g. 8 reproduces the r4 "
+                    "ring-attention cert); default keeps the preset's "
+                    "value (MViT-L ships pure DP since r5)")
     ap.add_argument("--tiny", action="store_true",
                     help="shrink the model (plumbing smoke, not the cert)")
     ap.add_argument("--opts", nargs="*", default=[])
@@ -71,7 +74,7 @@ def main():
     cfg = get_cfg()
     cfg.merge_from_file(os.path.join(root, args.cfg))
     cfg.NUM_GPUS = n
-    if cfg.TPU.MESH_SEQ and cfg.TPU.MESH_SEQ > 1:
+    if args.seq is not None:
         cfg.TPU.MESH_SEQ = args.seq
     cfg.DATA.DECODE_BACKEND = "synthetic"
     if args.tiny:
