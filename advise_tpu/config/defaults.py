@@ -160,6 +160,15 @@ _C.TPU.PALLAS_AUG = False
 # backends keep the XLA conv.
 _C.TPU.PALLAS_STEM = False
 
+# With PALLAS_STEM: keep the FORWARD on XLA's dense conv and use the
+# Pallas kernel only for the weight gradient. The full-Pallas path
+# materializes its ~1G padded-input buffer in the forward, which at bs32
+# trips a residency-pressure rescheduling cliff (755.8 vs 692.1 ms,
+# BASELINE.md r5) — wgrad-only moves the pack + kernel into the stem's
+# backward, the tail of the step where activations are retired, keeping
+# the 44.1->~10 ms weight-grad win without touching forward scheduling.
+_C.TPU.PALLAS_STEM_WGRAD_ONLY = False
+
 # Route MViT's rel-pos-free pooled-KV attention through the Pallas flash
 # kernel (ops/flash_attention.py): scores stream through VMEM tiles
 # instead of materializing [nq, nk] f32 tensors in HBM. Non-TPU backends

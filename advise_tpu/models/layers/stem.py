@@ -83,6 +83,12 @@ class SpaceToDepthStemConv(nn.Module):
     # precedence over pad_out (the Pallas weight-grad is already
     # MXU-packed). Falls back to XLA off-TPU (CPU tests/dryrun).
     pallas: bool = False
+    # TPU.PALLAS_STEM_WGRAD_ONLY: with pallas, keep the forward on XLA's
+    # dense conv and route only the weight gradient through the Pallas
+    # kernel — the full-Pallas path's padded-input buffer lands in the
+    # forward and trips a residency rescheduling cliff at bs32
+    # (BASELINE.md r5); wgrad-only confines it to the backward tail.
+    pallas_wgrad_only: bool = False
     # TPU.STEM_PAD_OUT: compute the WEIGHT GRADIENT through a conv whose
     # output channels are zero-padded to this width (the cotangent pads
     # with zeros, the padded weight-grad slices back — exact in exact
@@ -116,10 +122,12 @@ class SpaceToDepthStemConv(nn.Module):
         if self.pallas:
             from advise_tpu.ops.pallas import pallas_tpu_available
             from advise_tpu.ops.pallas.stem_conv import (
-                eligible, pallas_s2d_stem,
+                eligible, pallas_s2d_stem, pallas_s2d_stem_wgrad_only,
             )
 
             if eligible(x2.shape, self.features) and pallas_tpu_available():
+                if self.pallas_wgrad_only:
+                    return pallas_s2d_stem_wgrad_only(x2, w2, kt)
                 return pallas_s2d_stem(x2, w2, kt)
         if self.pad_out <= self.features:
             return conv(x2, w2)
@@ -176,6 +184,7 @@ class ResNetBasicStem(nn.Module):
     s2d: bool = False
     pad_out: int = 0  # see SpaceToDepthStemConv.pad_out
     pallas: bool = False  # see SpaceToDepthStemConv.pallas
+    pallas_wgrad_only: bool = False  # see SpaceToDepthStemConv
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool,
@@ -193,6 +202,7 @@ class ResNetBasicStem(nn.Module):
                 dtype=self.dtype,
                 pad_out=self.pad_out,
                 pallas=self.pallas,
+                pallas_wgrad_only=self.pallas_wgrad_only,
                 name="conv",
             )(x)
         else:

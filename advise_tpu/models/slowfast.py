@@ -107,7 +107,9 @@ class SlowFast(nn.Module):
             dim_out=w // beta_inv, temp_kernel=tk[0][1][0], norm=self.norm,
             dtype=self.dtype, s2d=cfg.TPU.STEM_S2D,
             pad_out=int(cfg.TPU.STEM_PAD_OUT),
-            pallas=bool(cfg.TPU.PALLAS_STEM), name="s1_fast",
+            pallas=bool(cfg.TPU.PALLAS_STEM),
+            pallas_wgrad_only=bool(cfg.TPU.PALLAS_STEM_WGRAD_ONLY),
+            name="s1_fast",
         )(x_f, train, conv_out=fast_conv)
         if cfg.TPU.STEM_BARRIER:
             # pin the stem outputs: XLA's HLO rematerialization pass may

@@ -258,3 +258,35 @@ def _vjp_bwd(kt, res, g):
 
 
 pallas_s2d_stem.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_s2d_stem_wgrad_only(x2: jnp.ndarray, w2: jnp.ndarray, kt: int):
+    """s2d stem conv with XLA's dense FORWARD and the Pallas column-packed
+    WEIGHT GRADIENT (TPU.PALLAS_STEM_WGRAD_ONLY).
+
+    Why this split exists (BASELINE.md r5): the full-Pallas path builds
+    its padded flat-lane input buffer (~1G at bs32) in the forward, where
+    the step's residency peak lives — chipless AOT says both paths fit
+    (15.07 vs 14.76G) yet the step regresses 692.1 -> 755.8 ms, i.e. XLA
+    loses overlap rescheduling around the buffer. Here the forward is the
+    untouched XLA conv; the pack + transposed-GEMM kernel run only inside
+    the stem's backward, at the tail of the step where activations are
+    already retired. The weight-grad win (XLA lowers it as 44.1 ms of VPU
+    reductions; the kernel measures ~10 ms) is the larger share of the
+    kernel's 73.0 -> 26.0 ms standalone delta anyway.
+    """
+    from advise_tpu.models.layers.stem import s2d_conv
+
+    return s2d_conv(x2, w2, kt)
+
+
+def _vjp_fwd_dense(x2, w2, kt):
+    from advise_tpu.models.layers.stem import s2d_conv
+
+    return s2d_conv(x2, w2, kt), (x2, w2)
+
+
+# the backward is exactly the full-Pallas backward: Pallas wgrad kernel +
+# XLA transposed-conv input grad (DCE'd in the stem's real position)
+pallas_s2d_stem_wgrad_only.defvjp(_vjp_fwd_dense, _vjp_bwd)

@@ -119,3 +119,35 @@ def test_resnet_stem_module_routes_pallas():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-2
         )
+
+
+def test_pallas_stem_wgrad_only_matches_autodiff():
+    """TPU.PALLAS_STEM_WGRAD_ONLY: the forward IS the XLA s2d conv
+    (bit-identical primal) while the weight grad comes from the Pallas
+    transposed-GEMM kernel."""
+    from advise_tpu.ops.pallas.stem_conv import pallas_s2d_stem_wgrad_only
+
+    x2, w2, kt = _data()
+    ref = s2d_conv(x2, w2, kt)
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_s2d_stem_wgrad_only(x2, w2, kt)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def loss_ref(x, w):
+        y = s2d_conv(x, w, kt)
+        return jnp.sum(y * jnp.cos(y))
+
+    def loss_wo(x, w):
+        y = pallas_s2d_stem_wgrad_only(x, w, kt)
+        return jnp.sum(y * jnp.cos(y))
+
+    gx_r, gw_r = jax.grad(loss_ref, (0, 1))(x2, w2)
+    with pltpu.force_tpu_interpret_mode():
+        gx_p, gw_p = jax.grad(loss_wo, (0, 1))(x2, w2)
+    np.testing.assert_allclose(
+        np.asarray(gw_p), np.asarray(gw_r), atol=5e-3, rtol=1e-3
+    )
+    # the input grad path is the same XLA transposed conv: exact
+    np.testing.assert_allclose(
+        np.asarray(gx_p), np.asarray(gx_r), atol=1e-6, rtol=1e-6
+    )
