@@ -185,8 +185,10 @@ def _fwd(x2: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(b, t, h, w, f)
 
 
-def _wgrad(x2: jnp.ndarray, g: jnp.ndarray, kt: int, f: int,
-           c: int) -> jnp.ndarray:
+def _wgrad_raw(x2: jnp.ndarray, g: jnp.ndarray, kt: int,
+               f: int) -> jnp.ndarray:
+    """Accumulated Toeplitz weight grad [kt,NDY,KL,128] f32 for one
+    (sub)batch — the pallas_call without the final diagonal collapse."""
     b, t, h, w, _, cp, kwin, kl, nwb = _geom(x2.shape, kt, f)
     xp = _pack_input(x2, kt, cp)
     hp, lp = xp.shape[2], xp.shape[3]
@@ -216,6 +218,40 @@ def _wgrad(x2: jnp.ndarray, g: jnp.ndarray, kt: int, f: int,
             transcendentals=0,
         ),
     )(*([xp] * kt), gb)
+    return dwt
+
+
+# Batch-chunk cap for the wgrad-only path: the padded flat-lane pack is
+# ~15 MB per sample at flagship shape, so an unchunked bs32 backward
+# materializes a ~960 MB HBM temp ON TOP of the dense forward's buffers
+# — measured OOM on the chip (16.43G vs 15.75G, BASELINE.md r5). 16
+# samples ≈ 240 MB bounds the temp while keeping the per-launch grid
+# (16, T) deep enough to pipeline the DMAs.
+WGRAD_CHUNK = 16
+
+
+def _wgrad(x2: jnp.ndarray, g: jnp.ndarray, kt: int, f: int,
+           c: int, chunk: int = 0) -> jnp.ndarray:
+    b = x2.shape[0]
+    _, _, _, _, _, cp, kwin, kl, _ = _geom(x2.shape, kt, f)
+    cb = b
+    if chunk:
+        cb = chunk
+        while b % cb:          # largest divisor of b that is <= chunk
+            cb -= 1
+    if cb == b:
+        dwt = _wgrad_raw(x2, g, kt, f)
+    else:
+        nc = b // cb
+        x2c = x2.reshape(nc, cb, *x2.shape[1:])
+        gc = g.reshape(nc, cb, *g.shape[1:])
+
+        def body(acc, xg):
+            xx, gg = xg
+            return acc + _wgrad_raw(xx, gg, kt, f), None
+
+        init = jnp.zeros((kt, NDY, kl, 128), jnp.float32)
+        dwt, _ = jax.lax.scan(body, init, (x2c, gc))
     # collapse the Toeplitz copies: dw2[dt,dy,dx,ci,co] =
     #   sum_j dwt[dt,dy,(j+dx)*CP+ci, j*F+co]
     dwt = dwt.reshape(kt, NDY, kwin, cp, J, f)
@@ -244,10 +280,11 @@ def _vjp_fwd(x2, w2, kt):
     return _fwd(x2, w2), (x2, w2)
 
 
-def _vjp_bwd(kt, res, g):
+def _vjp_bwd(kt, res, g, chunk=0):
     x2, w2 = res
     f, c = w2.shape[-1], w2.shape[-2]
-    dw2 = _wgrad(x2, g.astype(x2.dtype), kt, f, c).astype(w2.dtype)
+    dw2 = _wgrad(x2, g.astype(x2.dtype), kt, f, c,
+                 chunk=chunk).astype(w2.dtype)
     # input grad through the ordinary conv (DCE'd when unused — the
     # stem is the first layer and device-aug inputs carry no gradient)
     from advise_tpu.models.layers.stem import s2d_conv
@@ -275,6 +312,12 @@ def pallas_s2d_stem_wgrad_only(x2: jnp.ndarray, w2: jnp.ndarray, kt: int):
     already retired. The weight-grad win (XLA lowers it as 44.1 ms of VPU
     reductions; the kernel measures ~10 ms) is the larger share of the
     kernel's 73.0 -> 26.0 ms standalone delta anyway.
+
+    The backward pack is BATCH-CHUNKED (lax.scan over WGRAD_CHUNK-sample
+    chunks, f32 partial-sum accumulation — exact up to f32 add order):
+    an unchunked bs32 backward materializes the ~960 MB pack on top of
+    the dense forward's buffers and OOMs the chip outright (16.43G vs
+    15.75G measured, BASELINE.md r5).
     """
     from advise_tpu.models.layers.stem import s2d_conv
 
@@ -287,6 +330,12 @@ def _vjp_fwd_dense(x2, w2, kt):
     return s2d_conv(x2, w2, kt), (x2, w2)
 
 
-# the backward is exactly the full-Pallas backward: Pallas wgrad kernel +
-# XLA transposed-conv input grad (DCE'd in the stem's real position)
-pallas_s2d_stem_wgrad_only.defvjp(_vjp_fwd_dense, _vjp_bwd)
+# the backward is the full-Pallas backward — Pallas wgrad kernel + XLA
+# transposed-conv input grad (DCE'd in the stem's real position) — but
+# BATCH-CHUNKED: unlike the full path, whose pack buffer already exists
+# in the forward, here it would be NEW backward-only memory on top of
+# the dense forward's residency peak (the measured bs32 OOM above)
+pallas_s2d_stem_wgrad_only.defvjp(
+    _vjp_fwd_dense,
+    functools.partial(_vjp_bwd, chunk=WGRAD_CHUNK),
+)

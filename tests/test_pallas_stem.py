@@ -151,3 +151,26 @@ def test_pallas_stem_wgrad_only_matches_autodiff():
     np.testing.assert_allclose(
         np.asarray(gx_p), np.asarray(gx_r), atol=1e-6, rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("chunk", [2, 4])
+def test_wgrad_batch_chunking_matches_unchunked(chunk):
+    """The wgrad-only backward scans WGRAD_CHUNK-sample chunks (the
+    unchunked bs32 pack OOMed the chip, BASELINE.md r5). chunk=2 divides
+    b=6 exactly; chunk=4 exercises the largest-divisor fallback (->3)."""
+    from advise_tpu.ops.pallas.stem_conv import _wgrad
+
+    x2, w2, kt = _data(b=6)
+    g = jnp.asarray(
+        np.random.default_rng(7).standard_normal(
+            s2d_conv(x2, w2, kt).shape
+        ),
+        jnp.float32,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        dw_full = _wgrad(x2, g, kt, w2.shape[-1], w2.shape[-2])
+        dw_chunk = _wgrad(x2, g, kt, w2.shape[-1], w2.shape[-2],
+                          chunk=chunk)
+    np.testing.assert_allclose(
+        np.asarray(dw_chunk), np.asarray(dw_full), atol=1e-4, rtol=1e-5
+    )
