@@ -169,6 +169,13 @@ _C.TPU.PALLAS_STEM = False
 # the 44.1->~10 ms weight-grad win without touching forward scheduling.
 _C.TPU.PALLAS_STEM_WGRAD_ONLY = False
 
+# With PALLAS_STEM: lax.scan the pack + kernel over batch chunks of this
+# size in BOTH directions. The bs32 regression above is a scheduling
+# cliff around the ~960 MB forward pack (AOT says both programs fit);
+# chunking bounds the live pack to chunk/B of that while keeping the
+# forward kernel's 29.9->15.8 ms win. 0 (default) = unchunked.
+_C.TPU.PALLAS_STEM_CHUNK = 0
+
 # Route MViT's rel-pos-free pooled-KV attention through the Pallas flash
 # kernel (ops/flash_attention.py): scores stream through VMEM tiles
 # instead of materializing [nq, nk] f32 tensors in HBM. Non-TPU backends

@@ -89,6 +89,12 @@ class SpaceToDepthStemConv(nn.Module):
     # forward and trips a residency rescheduling cliff at bs32
     # (BASELINE.md r5); wgrad-only confines it to the backward tail.
     pallas_wgrad_only: bool = False
+    # TPU.PALLAS_STEM_CHUNK: with pallas, run the pack + kernel over
+    # lax.scan'd batch chunks of this size in BOTH directions — bounds
+    # the padded-input buffer the bs32 full-Pallas path chokes on
+    # (~960 MB -> chunk/B of it) without giving up the forward kernel.
+    # 0 (default) = unchunked.
+    pallas_chunk: int = 0
     # TPU.STEM_PAD_OUT: compute the WEIGHT GRADIENT through a conv whose
     # output channels are zero-padded to this width (the cotangent pads
     # with zeros, the padded weight-grad slices back — exact in exact
@@ -122,12 +128,17 @@ class SpaceToDepthStemConv(nn.Module):
         if self.pallas:
             from advise_tpu.ops.pallas import pallas_tpu_available
             from advise_tpu.ops.pallas.stem_conv import (
-                eligible, pallas_s2d_stem, pallas_s2d_stem_wgrad_only,
+                eligible, pallas_s2d_stem, pallas_s2d_stem_chunked,
+                pallas_s2d_stem_wgrad_only,
             )
 
             if eligible(x2.shape, self.features) and pallas_tpu_available():
                 if self.pallas_wgrad_only:
                     return pallas_s2d_stem_wgrad_only(x2, w2, kt)
+                if self.pallas_chunk:
+                    return pallas_s2d_stem_chunked(
+                        x2, w2, kt, int(self.pallas_chunk)
+                    )
                 return pallas_s2d_stem(x2, w2, kt)
         if self.pad_out <= self.features:
             return conv(x2, w2)
@@ -185,6 +196,7 @@ class ResNetBasicStem(nn.Module):
     pad_out: int = 0  # see SpaceToDepthStemConv.pad_out
     pallas: bool = False  # see SpaceToDepthStemConv.pallas
     pallas_wgrad_only: bool = False  # see SpaceToDepthStemConv
+    pallas_chunk: int = 0  # see SpaceToDepthStemConv.pallas_chunk
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool,
@@ -203,6 +215,7 @@ class ResNetBasicStem(nn.Module):
                 pad_out=self.pad_out,
                 pallas=self.pallas,
                 pallas_wgrad_only=self.pallas_wgrad_only,
+                pallas_chunk=self.pallas_chunk,
                 name="conv",
             )(x)
         else:

@@ -109,6 +109,7 @@ class SlowFast(nn.Module):
             pad_out=int(cfg.TPU.STEM_PAD_OUT),
             pallas=bool(cfg.TPU.PALLAS_STEM),
             pallas_wgrad_only=bool(cfg.TPU.PALLAS_STEM_WGRAD_ONLY),
+            pallas_chunk=int(cfg.TPU.PALLAS_STEM_CHUNK),
             name="s1_fast",
         )(x_f, train, conv_out=fast_conv)
         if cfg.TPU.STEM_BARRIER:

@@ -297,6 +297,58 @@ def _vjp_bwd(kt, res, g, chunk=0):
 pallas_s2d_stem.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def _largest_divisor(b: int, chunk: int) -> int:
+    cb = min(chunk, b)
+    while b % cb:
+        cb -= 1
+    return cb
+
+
+def _fwd_chunked(x2: jnp.ndarray, w2: jnp.ndarray, chunk: int):
+    b = x2.shape[0]
+    cb = _largest_divisor(b, chunk)
+    if cb == b:
+        return _fwd(x2, w2)
+    x2c = x2.reshape(b // cb, cb, *x2.shape[1:])
+
+    def body(carry, xx):
+        return carry, _fwd(xx, w2)
+
+    _, out = jax.lax.scan(body, None, x2c)
+    return out.reshape(b, *out.shape[2:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_s2d_stem_chunked(x2: jnp.ndarray, w2: jnp.ndarray, kt: int,
+                            chunk: int):
+    """The full-Pallas s2d stem with the PACK BATCH-CHUNKED in BOTH
+    directions (TPU.PALLAS_STEM_CHUNK = chunk samples per launch).
+
+    Why this variant exists (BASELINE.md r5): at bs32 the full-Pallas
+    path regresses the flagship step 692.1 -> 755.8 ms even though
+    chipless AOT says both programs fit (15.07 vs 14.76G) — the ~960 MB
+    padded flat-lane pack materialized in the forward costs XLA its
+    scheduling overlap, not its memory budget. A lax.scan over
+    chunk-sample slices bounds the live pack to chunk/B of that (~240 MB
+    at chunk=16) while keeping each launch's (chunk, T) grid deep enough
+    to pipeline the DMAs; the backward reuses the same chunking for its
+    repack (exact up to f32 partial-sum add order, same as the measured
+    wgrad-only chunking).
+    """
+    return _fwd_chunked(x2, w2, chunk)
+
+
+def _vjp_fwd_chunked(x2, w2, kt, chunk):
+    return _fwd_chunked(x2, w2, chunk), (x2, w2)
+
+
+def _vjp_bwd_chunked(kt, chunk, res, g):
+    return _vjp_bwd(kt, res, g, chunk=chunk)
+
+
+pallas_s2d_stem_chunked.defvjp(_vjp_fwd_chunked, _vjp_bwd_chunked)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def pallas_s2d_stem_wgrad_only(x2: jnp.ndarray, w2: jnp.ndarray, kt: int):
     """s2d stem conv with XLA's dense FORWARD and the Pallas column-packed

@@ -154,6 +154,40 @@ def test_pallas_stem_wgrad_only_matches_autodiff():
 
 
 @pytest.mark.parametrize("chunk", [2, 4])
+def test_pallas_stem_chunked_matches_autodiff(chunk):
+    """TPU.PALLAS_STEM_CHUNK: the batch-chunked full-Pallas path (scan'd
+    pack in both directions) matches s2d_conv autodiff. chunk=2 divides
+    b=6 exactly; chunk=4 exercises the largest-divisor fallback (->3)."""
+    from advise_tpu.ops.pallas.stem_conv import pallas_s2d_stem_chunked
+
+    x2, w2, kt = _data(b=6)
+    ref = s2d_conv(x2, w2, kt)
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_s2d_stem_chunked(x2, w2, kt, chunk)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
+
+    def loss_ref(x, w):
+        y = s2d_conv(x, w, kt)
+        return jnp.sum(y * jnp.cos(y))
+
+    def loss_chunked(x, w):
+        y = pallas_s2d_stem_chunked(x, w, kt, chunk)
+        return jnp.sum(y * jnp.cos(y))
+
+    gx_r, gw_r = jax.grad(loss_ref, (0, 1))(x2, w2)
+    with pltpu.force_tpu_interpret_mode():
+        gx_p, gw_p = jax.grad(loss_chunked, (0, 1))(x2, w2)
+    np.testing.assert_allclose(
+        np.asarray(gw_p), np.asarray(gw_r), atol=5e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx_p), np.asarray(gx_r), atol=5e-3, rtol=1e-3
+    )
+
+
+@pytest.mark.parametrize("chunk", [2, 4])
 def test_wgrad_batch_chunking_matches_unchunked(chunk):
     """The wgrad-only backward scans WGRAD_CHUNK-sample chunks (the
     unchunked bs32 pack OOMed the chip, BASELINE.md r5). chunk=2 divides
